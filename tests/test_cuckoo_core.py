@@ -1,0 +1,210 @@
+"""Core filter tests — pytest ports of the reference's assert-based harnesses
+(SURVEY.md §5): insert-then-contains, FPR vs published bound, delete support,
+fill-to-failure load factor, DCF growth + compaction, plus our additional
+obligations: serde round-trip, merge associativity, 12/4-bit packing.
+"""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from cuckoofilter_spark.core import CuckooFilter, DynamicCuckooFilter
+from cuckoofilter_spark.core.serde import deserialize_filter, serialize_filter
+from cuckoofilter_spark.params import CuckooParams, highest_power_of_two
+
+
+def test_power_of_two_rounding():
+    # reference Utils/util.h:9-19 semantics: 40000 -> 32768, exact pow2 halves
+    assert highest_power_of_two(40000) == 32768
+    assert highest_power_of_two(8) == 4
+    assert highest_power_of_two(10000) == 8192
+    assert highest_power_of_two(1) == 1
+
+
+def test_illegal_config_rejected():
+    # reference CF/cuckoo_table.h:150-168 enforces exactly 5 configs
+    with pytest.raises(ValueError):
+        CuckooParams(entries_per_bucket=3, bits_per_fp=16)
+    with pytest.raises(ValueError):
+        CuckooParams(entries_per_bucket=4, bits_per_fp=32)
+
+
+def test_insert_then_contains_zero_false_negatives():
+    # Demo/cf_demo.cpp:30-36,100 — every inserted key must hit
+    p = CuckooParams(max_table_size=40000, bits_per_fp=16)
+    cf = CuckooFilter(p)
+    keys = np.arange(100_000, dtype=np.int64)
+    ok = cf.insert(keys)
+    assert ok.all()  # 100k into 131072 slots fits
+    assert cf.contains(keys).all()
+    assert cf.element_count == 100_000
+
+
+@pytest.mark.parametrize("bits", [8, 12, 16])
+def test_fpr_within_published_bound(bits):
+    # Demo/cf_demo.cpp:38-49 measured; we assert vs eps <= 2b/2^f (Fan et al.)
+    p = CuckooParams(max_table_size=65536, bits_per_fp=bits)
+    cf = CuckooFilter(p)
+    cf.insert(np.arange(150_000, dtype=np.int64))
+    neg = np.arange(1_000_000, 1_100_000, dtype=np.int64)
+    fpr = cf.contains(neg).mean()
+    assert fpr <= p.fpr_bound * 1.15  # small slack over the expectation bound
+
+
+def test_delete_roundtrip():
+    # Demo/cf_demo.cpp:51-57 + post-delete check (SURVEY.md §5.3)
+    p = CuckooParams(max_table_size=40000, bits_per_fp=16)
+    cf = CuckooFilter(p)
+    keys = np.arange(50_000, dtype=np.int64)
+    cf.insert(keys)
+    dropped = keys[::2]
+    kept = keys[1::2]
+    assert cf.delete(dropped).all()
+    # kept elements: still zero false negatives
+    assert cf.contains(kept).all()
+    assert cf.element_count == len(kept)
+    # delete-all
+    assert cf.delete(kept).all()
+    assert cf.element_count == 0
+    assert not cf.contains(keys).any()
+
+
+def test_delete_duplicates_consume_copies():
+    p = CuckooParams(max_table_size=1024, bits_per_fp=16)
+    cf = CuckooFilter(p)
+    cf.insert(np.array([7, 7, 7]))
+    assert cf.element_count == 3
+    res = cf.delete(np.array([7, 7, 7, 7]))
+    assert res.tolist() == [True, True, True, False]
+
+
+def test_fill_to_failure_load_at_least_95_percent():
+    # Tests/simple_test.cpp:54-117 analog; b=4 cuckoo filters reach ~95-98%
+    p = CuckooParams(max_table_size=10000, bits_per_fp=16)
+    cf = CuckooFilter(p)
+    keys = np.arange(200_000, dtype=np.int64)
+    successes = []
+    for i in range(0, len(keys), 1024):
+        ok = cf.insert(keys[i : i + 1024])
+        successes.append(keys[i : i + 1024][ok])
+        if cf.is_full():
+            break
+    assert cf.is_full()
+    assert cf.load_factor() >= 0.95
+    # no false negatives among accepted keys, victim included
+    s = np.concatenate(successes)
+    assert cf.contains(s).all()
+    # full filter rejects everything
+    assert not cf.insert(np.array([999_999_999])).any()
+
+
+def test_availability_matches_reference_formula():
+    p = CuckooParams(max_table_size=1000, bits_per_fp=16)
+    cf = CuckooFilter(p)
+    cf.insert(np.arange(100))
+    # CF/cuckoo_filter.h:305-310: availability = free/slots*100
+    assert cf.availability() == pytest.approx((p.slots - 100) / p.slots * 100)
+
+
+def test_dcf_growth_and_compaction():
+    # Demo/dcf_demo.cpp:52-57 — 100k into 8192-bucket chain (~3.4x overfull)
+    p = CuckooParams(max_table_size=10000, bits_per_fp=16)
+    dcf = DynamicCuckooFilter(p)
+    keys = np.arange(100_000, dtype=np.int64)
+    dcf.insert(keys)
+    assert dcf.element_count == 100_000
+    assert dcf.cf_count >= 4  # ceil(100000 / (0.9*32768))
+    assert dcf.contains(keys).all()
+    # delete a chunk then compact: chain should shrink
+    dcf.delete(keys[:60_000])
+    before = dcf.cf_count
+    dcf.compact()
+    assert dcf.cf_count <= before
+    assert dcf.cf_count < 4
+    assert dcf.contains(keys[60_000:]).all()
+    assert dcf.element_count == 40_000
+
+
+def test_dcf_fpr_scales_with_chain_length():
+    p = CuckooParams(max_table_size=10000, bits_per_fp=16)
+    dcf = DynamicCuckooFilter(p)
+    dcf.insert(np.arange(100_000, dtype=np.int64))
+    neg = np.arange(1_000_000, 1_100_000, dtype=np.int64)
+    fpr = dcf.contains(neg).mean()
+    assert fpr <= p.fpr_bound * dcf.cf_count * 1.15
+
+
+@pytest.mark.parametrize("epb,bits", [(4, 4), (4, 8), (4, 12), (4, 16), (2, 32)])
+def test_serde_roundtrip_all_configs(epb, bits):
+    p = CuckooParams(max_table_size=4096, entries_per_bucket=epb, bits_per_fp=bits)
+    f = DynamicCuckooFilter(p)
+    keys = np.arange(5_000, dtype=np.int64)
+    f.insert(keys)
+    g = deserialize_filter(serialize_filter(f))
+    probes = np.arange(0, 50_000, dtype=np.int64)
+    assert (g.contains(probes) == f.contains(probes)).all()
+    assert g.element_count == f.element_count
+    # packed wire width: 12-bit blob must be smaller than 16-bit lanes
+    if bits == 12:
+        assert len(serialize_filter(f)) < p.slots * 2
+
+
+def test_cf_serde_preserves_victim():
+    p = CuckooParams(max_table_size=128, bits_per_fp=16)
+    cf = CuckooFilter(p)
+    i = 0
+    while not cf.is_full():
+        cf.insert(np.arange(i, i + 256, dtype=np.int64))
+        i += 256
+    g = deserialize_filter(serialize_filter(cf))
+    assert g.victim == cf.victim
+    probes = np.arange(0, i, dtype=np.int64)
+    assert (g.contains(probes) == cf.contains(probes)).all()
+
+
+def test_merge_answers_associative_and_commutative():
+    # north_rule: permute partition merge order -> identical answers
+    rng = np.random.default_rng(42)
+    parts = np.array_split(rng.integers(0, 1_000_000, 40_000), 4)
+    filters = []
+    for i, part in enumerate(parts):
+        f = DynamicCuckooFilter(CuckooParams(max_table_size=8192, bits_per_fp=16), rng_seed=i)
+        f.insert(part)
+        filters.append(serialize_filter(f))
+    probes = rng.integers(0, 2_000_000, 50_000)
+    all_keys = np.concatenate(parts)
+    answers = []
+    for perm in itertools.permutations(range(4)):
+        m = DynamicCuckooFilter(CuckooParams(max_table_size=8192, bits_per_fp=16))
+        for j in perm:
+            m.merge(deserialize_filter(filters[j]))
+        a = m.contains(probes)
+        answers.append(a)
+        assert m.contains(all_keys).all()  # no false negatives post-merge
+        assert m.element_count == len(all_keys)
+    for a in answers[1:]:
+        assert (a == answers[0]).all()
+
+
+def test_merge_then_compact_preserves_membership():
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 500_000, 20_000)
+    halves = np.array_split(keys, 2)
+    a = DynamicCuckooFilter(CuckooParams(max_table_size=4096, bits_per_fp=12), rng_seed=0)
+    b = DynamicCuckooFilter(CuckooParams(max_table_size=4096, bits_per_fp=12), rng_seed=1)
+    a.insert(halves[0])
+    b.insert(halves[1])
+    a.merge(b)
+    a.compact()
+    assert a.contains(keys).all()
+
+
+def test_determinism_across_runs():
+    # same input + seeds -> byte-identical serialized filter (resume-safety)
+    def build():
+        f = DynamicCuckooFilter(CuckooParams(max_table_size=2048, bits_per_fp=16, seed=3), rng_seed=11)
+        f.insert(np.arange(20_000, dtype=np.int64))
+        return serialize_filter(f)
+
+    assert build() == build()
