@@ -40,14 +40,29 @@ from cuckoofilter_spark.params import CuckooParams
 
 
 class DynamicCuckooFilter:
-    """Chain of fixed-size cuckoo tables; inserts never fail."""
+    """Chain of fixed-size cuckoo tables; inserts never fail.
 
-    __slots__ = ("params", "tables", "rng")
+    ``dedup=False`` (default): reference multiset semantics — every insert
+    stores a fingerprint copy; n deletes undo n inserts.  This is also the
+    reference's failure mode: >2·b copies of one (bucket-pair, fp) overflow
+    (the reference's single table simply fills and rejects; our chain grows
+    unboundedly), so it is wrong for corpus-scale streams with hot keys.
+
+    ``dedup=True``: idempotent **set** semantics — a (bucket-pair, fp)
+    already present (in-batch or in-chain) is skipped.  Membership answers
+    are identical; storage is bounded by the number of distinct keys no
+    matter how skewed the stream (a 10^12-token corpus whose hottest token
+    appears 10^10 times stores it once).  This is the distributed-build
+    default.  One delete removes membership (set semantics, documented).
+    """
+
+    __slots__ = ("params", "tables", "rng", "dedup")
 
     def __init__(self, params: CuckooParams, tables: list[CuckooTable] | None = None,
-                 rng_seed: int = 0):
+                 rng_seed: int = 0, dedup: bool = False):
         self.params = params
         self.tables = tables if tables is not None else [CuckooTable(params)]
+        self.dedup = dedup
         self.rng = np.random.default_rng(
             np.uint64(params.seed) ^ np.uint64(rng_seed) ^ np.uint64(0xD1CE)
         )
@@ -80,8 +95,29 @@ class DynamicCuckooFilter:
             self.tables.append(t)
         return t
 
+    def _dedup_pairs(self, fps: np.ndarray, bidx: np.ndarray):
+        """Set-mode admission: drop pairs already present in the chain, and
+        collapse in-batch duplicates, keyed by (canonical bucket pair, fp).
+        The canonical key is (min(i, partner), fp) — identical whichever of
+        its two buckets a fingerprint arrives or is stored at."""
+        if len(fps) == 0:
+            return fps, bidx
+        alt = self.tables[0].complement(bidx, fps)
+        canon = np.minimum(bidx, alt)
+        # in-batch dedup
+        key = (canon.astype(np.uint64) << np.uint64(32)) | fps.astype(np.uint64)
+        _, first = np.unique(key, return_index=True)
+        first.sort()
+        fps, bidx = fps[first], bidx[first]
+        # in-chain dedup (contains checks both buckets)
+        present = self.contains_fps(fps, bidx)
+        keep = ~present
+        return fps[keep], bidx[keep]
+
     def _insert_fps(self, fps: np.ndarray, bidx: np.ndarray) -> None:
         """Place a (fp, bucket) batch somewhere in the chain; grow on demand."""
+        if self.dedup:
+            fps, bidx = self._dedup_pairs(fps, bidx)
         pend_fp, pend_i = fps, bidx
         while len(pend_fp):
             t = self._active()

@@ -83,7 +83,7 @@ def serialize_filter(f: CuckooFilter | DynamicCuckooFilter) -> bytes:
         tables = [f.table]
         victim = -1 if f.victim is None else ((f.victim[1] << 40) | f.victim[0])
     else:
-        kind = 1
+        kind = 2 if f.dedup else 1
         tables = f.tables
         victim = -1
     p = f.params
@@ -111,4 +111,4 @@ def deserialize_filter(data: bytes) -> CuckooFilter | DynamicCuckooFilter:
     if kind == 0:
         v = None if victim < 0 else (victim & ((1 << 40) - 1), victim >> 40)
         return CuckooFilter(params, table=tables[0], victim=v)
-    return DynamicCuckooFilter(params, tables=tables)
+    return DynamicCuckooFilter(params, tables=tables, dedup=(kind == 2))

@@ -1,0 +1,89 @@
+"""Generic distributed sketch build: the same per-partition-build →
+deterministic-tree-merge pipeline as ``operators/build.py``, parameterized
+over the ``Sketch`` protocol (Bloom/HLL/count-min/KLL/t-digest all ride it).
+
+One partial aggregate per input partition; merge levels shrink the blob
+count by ``fanin``; fold order inside each group is ascending partition id —
+a pure function of partition ids, identical at any cluster size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cuckoofilter_spark.operators.build import BLOB_SCHEMA, _keys_from_series
+from cuckoofilter_spark.sketches.base import deserialize_sketch, serialize_sketch
+
+
+def _numeric_from_series(s: pd.Series) -> np.ndarray:
+    if len(s) and isinstance(s.iloc[0], (list, np.ndarray)):
+        arrs = [np.asarray(a, dtype=np.float64) for a in s if a is not None and len(a)]
+        return np.concatenate(arrs) if arrs else np.empty(0, dtype=np.float64)
+    return s.to_numpy(dtype=np.float64, na_value=np.nan)
+
+
+def build_sketch(df: DataFrame, col: str, factory: Callable[[int], object],
+                 fanin: int = 64, num_partitions: int | None = None,
+                 values: str = "int"):
+    """Build one global sketch over ``df[col]``.
+
+    ``factory(partition_id)`` returns a fresh sketch (seed partition-local
+    randomness off the id).  ``values``: "int" for key sketches
+    (Bloom/HLL/CMS), "float" for quantile sketches (KLL/t-digest).
+    """
+    extract = _keys_from_series if values == "int" else _numeric_from_series
+
+    def build_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        sk = factory(pid)
+        n_rows = 0
+        n_items = 0
+        for pdf in batches:
+            vals = extract(pdf.iloc[:, 0])
+            n_rows += len(pdf)
+            n_items += len(vals)
+            if len(vals):
+                sk.update(vals)
+        yield pd.DataFrame({"pid": [pid], "blob": [serialize_sketch(sk)],
+                            "n_rows": [n_rows], "n_items": [n_items]})
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pid")
+        acc = None
+        for blob in pdf["blob"]:
+            s = deserialize_sketch(bytes(blob))
+            acc = s if acc is None else acc.merge(s)
+        return pd.DataFrame({"pid": [int(pdf["pid"].iloc[0])],
+                             "blob": [serialize_sketch(acc)],
+                             "n_rows": [int(pdf["n_rows"].sum())],
+                             "n_items": [int(pdf["n_items"].sum())]})
+
+    proj = df.select(col)
+    if num_partitions is not None:
+        proj = proj.repartition(num_partitions)
+    blobs = proj.mapInPandas(build_fn, schema=BLOB_SCHEMA)
+
+    n = blobs.count()
+    cur = blobs
+    while n > fanin:
+        cur = (
+            cur.withColumn("gid", (F.col("pid") / fanin).cast("long"))
+            .groupBy("gid")
+            .applyInPandas(lambda pdf: merge_group(pdf.drop(columns=["gid"])),
+                           schema=BLOB_SCHEMA)
+            .withColumn("pid", (F.col("pid") / fanin).cast("long"))
+        )
+        n = -(-n // fanin)
+    rows = sorted(cur.collect(), key=lambda r: r["pid"])
+    acc = None
+    for r in rows:
+        s = deserialize_sketch(bytes(r["blob"]))
+        acc = s if acc is None else acc.merge(s)
+    return acc

@@ -1,0 +1,136 @@
+"""t-digest (Dunning & Ertl), merging variant: centroids sized by the k1
+scale function so accuracy concentrates at the tails (relative quantile
+error ~ O(1/δ) at the median, far tighter at p99+).  Merge = centroid-list
+union + one re-merge pass — associative on answers to within the digest's
+own error.  Fully NumPy-vectorized merge pass (cumulative-weight bucketing),
+no per-centroid Python loop.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+
+from cuckoofilter_spark.sketches.base import register
+
+
+@register
+class TDigest:
+    TAG = 6
+
+    def __init__(self, delta: float = 200.0, buffer_size: int = 5000):
+        self.delta = float(delta)
+        self.buffer_size = int(buffer_size)
+        self.means = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.float64)
+        self._buf: list[np.ndarray] = []
+        self._buf_n = 0
+        self.n = 0
+        self.min = np.inf
+        self.max = -np.inf
+
+    # -- scale function (k1) ---------------------------------------------------
+    def _k(self, q: np.ndarray) -> np.ndarray:
+        return self.delta / (2 * np.pi) * np.arcsin(2 * np.clip(q, 0, 1) - 1)
+
+    # -- update -----------------------------------------------------------------
+    def update(self, batch: np.ndarray) -> None:
+        batch = np.asarray(batch, dtype=np.float64)
+        batch = batch[~np.isnan(batch)]
+        if len(batch) == 0:
+            return
+        self.n += len(batch)
+        self.min = min(self.min, float(batch.min()))
+        self.max = max(self.max, float(batch.max()))
+        self._buf.append(batch)
+        self._buf_n += len(batch)
+        if self._buf_n >= self.buffer_size:
+            self._flush()
+
+    def _flush(self) -> None:
+        if not self._buf:
+            return
+        pts = np.concatenate(self._buf)
+        self._buf = []
+        self._buf_n = 0
+        means = np.concatenate([self.means, pts])
+        weights = np.concatenate([self.weights, np.ones(len(pts))])
+        self.means, self.weights = self._merge_pass(means, weights)
+
+    def _merge_pass(self, means: np.ndarray, weights: np.ndarray):
+        """One vectorized merging pass: sort by mean, then group adjacent
+        centroids into k1-scale buckets by cumulative weight."""
+        order = np.argsort(means, kind="stable")
+        m, w = means[order], weights[order]
+        total = w.sum()
+        cum = np.cumsum(w) - w / 2.0  # midpoint quantile of each centroid
+        q = cum / total
+        k = self._k(q)
+        # bucket boundary whenever k advances past the next integer
+        bucket = np.floor(k - k[0]).astype(np.int64)
+        # force strictly increasing bucket starts (protect huge centroids)
+        uniq, inv = np.unique(bucket, return_inverse=True)
+        sums = np.bincount(inv, weights=m * w)
+        wsum = np.bincount(inv, weights=w)
+        return sums / wsum, wsum
+
+    # -- merge -------------------------------------------------------------------
+    def merge(self, other: "TDigest") -> "TDigest":
+        assert self.delta == other.delta
+        self._flush()
+        o_means, o_weights = other._merged_state()
+        means = np.concatenate([self.means, o_means])
+        weights = np.concatenate([self.weights, o_weights])
+        if len(means):
+            self.means, self.weights = self._merge_pass(means, weights)
+        self.n += other.n
+        self.min = min(self.min, other.min)
+        self.max = max(self.max, other.max)
+        return self
+
+    def _merged_state(self):
+        self._flush()
+        return self.means, self.weights
+
+    # -- query ----------------------------------------------------------------------
+    def quantile(self, q) -> np.ndarray | float:
+        scalar = np.isscalar(q)
+        qs = np.atleast_1d(np.asarray(q, dtype=np.float64))
+        self._flush()
+        if len(self.means) == 0:
+            out = np.full(len(qs), np.nan)
+            return float(out[0]) if scalar else out
+        w = self.weights
+        cum = np.cumsum(w) - w / 2.0
+        total = w.sum()
+        targets = np.clip(qs, 0, 1) * total
+        out = np.interp(targets, cum, self.means, left=self.min, right=self.max)
+        return float(out[0]) if scalar else out
+
+    def rank(self, value: float) -> float:
+        self._flush()
+        if len(self.means) == 0:
+            return float("nan")
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        return float(np.interp(value, self.means, cum / self.weights.sum(), left=0.0, right=1.0))
+
+    # -- serde ---------------------------------------------------------------------------
+    def to_bytes(self) -> bytes:
+        self._flush()
+        return pickle.dumps(
+            {"delta": self.delta, "means": self.means, "weights": self.weights,
+             "n": self.n, "min": self.min, "max": self.max},
+            protocol=4,
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "TDigest":
+        d = pickle.loads(data)
+        t = cls(d["delta"])
+        t.means = np.asarray(d["means"])
+        t.weights = np.asarray(d["weights"])
+        t.n = d["n"]
+        t.min = d["min"]
+        t.max = d["max"]
+        return t

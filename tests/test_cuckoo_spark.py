@@ -1,0 +1,110 @@
+"""Distributed build + query tests: the minimum end-to-end slice of
+SURVEY.md §7 Phase 1 — "which of these candidate tokens appear anywhere in
+the corpus?" — plus the north_rule obligations that need a SparkSession:
+parallelism invariance and exact-oracle agreement.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter_spark.core.serde import serialize_filter
+from cuckoofilter_spark.operators.build import build_filter
+from cuckoofilter_spark.operators.membership import cf_contains_udf, membership_df
+from cuckoofilter_spark.params import CuckooParams
+from cuckoofilter_spark.sources.tokens import synth_tokens_df
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    df = synth_tokens_df(spark, n_docs=2_000, seed=42, num_partitions=8)
+    df.cache().count()
+    return df
+
+
+def test_synth_corpus_deterministic_across_partitioning(spark):
+    # per-row invariant (input_hint): token-array equality at any parallelism
+    a = synth_tokens_df(spark, 300, seed=42, num_partitions=2).orderBy("doc_id").collect()
+    b = synth_tokens_df(spark, 300, seed=42, num_partitions=7).orderBy("doc_id").collect()
+    assert [r.asDict() for r in a] == [r.asDict() for r in b]
+    assert all(r.n_tok == len(r.tokens) for r in a)
+    assert all(32 <= r.n_tok <= 512 for r in a)
+
+
+def test_build_filter_over_token_arrays_no_false_negatives(spark, corpus):
+    params = CuckooParams(max_table_size=65536, bits_per_fp=16)
+    filt = build_filter(corpus, "tokens", params, num_partitions=8)
+    # every distinct token present in the corpus must be a member
+    present = np.array(
+        [r[0] for r in corpus.select(F.explode("tokens").alias("t")).distinct().collect()],
+        dtype=np.int64,
+    )
+    assert filt.contains(present).all()
+    # FPR on a disjoint domain within the chain-scaled bound
+    neg = np.arange(60_000, 110_000, dtype=np.int64)
+    fpr = filt.contains(neg).mean()
+    assert fpr <= params.fpr_bound * filt.cf_count * 1.2
+    # set semantics: one stored fingerprint per distinct token, minus the
+    # rare (bucket-pair, fp) collisions between distinct tokens
+    n_distinct = len(present)
+    assert filt.element_count <= n_distinct
+    assert filt.element_count >= n_distinct * 0.99
+
+
+def test_membership_query_matches_exact_semi_join(spark, corpus):
+    # flagship query vs the exact relational oracle
+    params = CuckooParams(max_table_size=65536, bits_per_fp=16)
+    filt = build_filter(corpus, "tokens", params, num_partitions=8)
+    probes = spark.range(0, 120_000).select(F.col("id").cast("int").alias("token"))
+    got = set(
+        r.token for r in membership_df(spark, filt, probes, "token").collect()
+    )
+    exact = set(
+        r.t for r in corpus.select(F.explode("tokens").alias("t")).distinct().collect()
+    )
+    # no false negatives
+    assert exact <= got
+    # bounded false positives
+    n_probes = 120_000
+    fp = len(got - exact)
+    assert fp / max(n_probes - len(exact), 1) <= params.fpr_bound * filt.cf_count * 1.2
+
+
+def test_parallelism_invariance_same_filter_bytes(spark):
+    # north_rule: identical estimates at N and 4N executors.  With the input
+    # partition count pinned, the build and the merge tree are pure functions
+    # of partition ids -> byte-identical filters regardless of core count.
+    df = synth_tokens_df(spark, 1_000, seed=7, num_partitions=16)
+    params = CuckooParams(max_table_size=32768, bits_per_fp=12)
+    a = build_filter(df, "tokens", params, num_partitions=16, compact=False)
+    b = build_filter(df, "tokens", params, num_partitions=16, compact=False)
+    assert serialize_filter(a) == serialize_filter(b)
+
+
+def test_cf_contains_udf_registrable_for_sql(spark, corpus):
+    params = CuckooParams(max_table_size=65536, bits_per_fp=16)
+    filt = build_filter(corpus, "tokens", params, num_partitions=8)
+    spark.udf.register("cf_contains", cf_contains_udf(spark, filt))
+    present = corpus.select(F.explode("tokens").alias("t")).limit(100)
+    present.createOrReplaceTempView("probe_tokens_v")
+    n = spark.sql("SELECT count(*) AS n FROM probe_tokens_v WHERE cf_contains(t)").collect()[0].n
+    assert n == 100
+
+
+def test_skewed_source_build_with_salting(spark, corpus):
+    # explicit repartition over a salted key spreads the 0.7-weight 'web'
+    # source across tasks; answers must be unchanged vs the unsalted build
+    params = CuckooParams(max_table_size=65536, bits_per_fp=16)
+    salted = corpus.repartition(8, F.abs(F.hash("doc_id", F.lit(17))) % 8)
+    f1 = build_filter(salted, "tokens", params, num_partitions=None)
+    f2 = build_filter(corpus, "tokens", params, num_partitions=8)
+    probes = np.arange(0, 60_000, dtype=np.int64)
+    assert (f1.contains(probes) == f2.contains(probes)).sum() >= len(probes) - int(
+        params.fpr_bound * 4 * len(probes) + 10
+    )
+    # and identically zero false negatives on both
+    present = np.array(
+        [r[0] for r in corpus.select(F.explode("tokens").alias("t")).distinct().collect()],
+        dtype=np.int64,
+    )
+    assert f1.contains(present).all() and f2.contains(present).all()
