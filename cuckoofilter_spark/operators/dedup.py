@@ -83,6 +83,59 @@ def jaccard_pairs(sh: DataFrame, tau_x1e4: int) -> DataFrame:
     return j
 
 
+def jaccard_pairs_prefix(sh: DataFrame, tau_x1e4: int) -> DataFrame:
+    """EXACT Jaccard self-join with prefix filtering (PPJoin-style) —
+    identical output to `jaccard_pairs`, asymptotically far cheaper.
+
+    Principle: under any global total order of grams, two sets with
+    J ≥ τ must share a gram within each set's first
+    ``|A| - ceil(τ·|A|) + 1`` grams.  Ordering by (document frequency asc,
+    gram) puts the *rarest* grams in the prefix, so the candidate join hits
+    tiny posting lists instead of the full gram table — this is what keeps
+    the self-join from exploding on stop-grams at corpus scale.  A length
+    filter (τ·|A| ≤ |B| ≤ |A|/τ) prunes further.  Candidates are then
+    exactly verified on the full shingle sets."""
+    tau = tau_x1e4 / 10000.0
+    from pyspark.sql import Window
+
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    gdf = sh.groupBy("gram").agg(F.count("*").alias("gram_df"))
+    ranked = (
+        sh.join(gdf, "gram")
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("gram_df", "gram")))
+        .join(sizes, "doc_id")
+        .filter(F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(tau) * F.col("n_sh")) + 1)
+        .select("doc_id", "gram", "n_sh")
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    cand = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram"))
+               & (F.col("a.doc_id") < F.col("b.doc_id"))
+               & (F.col("b.n_sh") >= F.ceil(F.lit(tau) * F.col("a.n_sh")))
+               & (F.col("a.n_sh") >= F.ceil(F.lit(tau) * F.col("b.n_sh"))))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    s1 = sh.select(F.col("doc_id").alias("d1"), "gram")
+    s2 = sh.select(F.col("doc_id").alias("d2"), "gram")
+    inter = (
+        cand.join(s1, "d1").join(s2, ["d2", "gram"])
+        .groupBy("d1", "d2").agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "d1").join(sb, "d2")
+        .withColumn("union_", F.col("na") + F.col("nb") - F.col("inter"))
+        .withColumn("jaccard_x1e4",
+                    F.floor(F.col("inter") * 10000 / F.col("union_")).cast("long"))
+        .filter(F.col("jaccard_x1e4") >= tau_x1e4)
+        .select("d1", "d2", F.col("inter").cast("long").alias("inter"),
+                F.col("union_").cast("long").alias("union_"), "jaccard_x1e4")
+    )
+
+
 # -- MinHash + LSH -----------------------------------------------------------
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = 64) -> DataFrame:
@@ -96,22 +149,20 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 64) -> DataFrame:
 
 def lsh_candidate_pairs(sig: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:
     """Band the signature (bands × rows = num_hashes); docs sharing any
-    band bucket become candidate pairs (d1 < d2, distinct)."""
+    band bucket become candidate pairs (d1 < d2, distinct).
+
+    One projection + posexplode — the signature is scanned once (not
+    `bands`× via a union), and the join key (band, bucket-hash) is uniform
+    by construction, so the self-join shuffle is skew-free."""
     num = bands * rows
     cols = [f"mh{i}" for i in range(num)]
     assert all(c in sig.columns for c in cols), "signature too narrow for banding"
-    bucket_rows = []
-    for b in range(bands):
-        band_cols = cols[b * rows:(b + 1) * rows]
-        bucket_rows.append(
-            sig.select(
-                "doc_id", F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(c) for c in band_cols]).alias("bh"),
-            )
-        )
-    buckets = bucket_rows[0]
-    for r in bucket_rows[1:]:
-        buckets = buckets.unionByName(r)
+    band_hashes = F.array(*[
+        F.xxhash64(*[F.col(c) for c in cols[b * rows:(b + 1) * rows]])
+        for b in range(bands)
+    ])
+    buckets = sig.select(
+        "doc_id", F.posexplode(band_hashes).alias("band", "bh"))
     a, b_ = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(b_, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
@@ -127,8 +178,12 @@ def minhash_near_dups(docs: DataFrame, tau_x1e4: int = 7000, n: int = 3,
     """MinHash LSH candidates, then EXACT Jaccard verification — output
     matches `jaccard_pairs` restricted to LSH-found candidates.  For
     τ = 1.0 (identical shingle sets) recall is exact: identical sets ⇒
-    identical signatures ⇒ same buckets."""
-    sh = shingles(docs, n, text_col)
+    identical signatures ⇒ same buckets.
+
+    The shingle relation feeds three consumers (signatures, candidate
+    verification, sizes); cache it so the text is shingled once.  At
+    cluster scale this is a checkpoint/persist of the shingle table."""
+    sh = shingles(docs, n, text_col).persist()
     cand = lsh_candidate_pairs(minhash_signatures(sh, num_hashes), bands, rows)
     exact = jaccard_pairs(sh, tau_x1e4)
     return exact.join(cand, ["d1", "d2"], "left_semi")
@@ -159,20 +214,16 @@ def simhash_candidates(sig: DataFrame, max_hamming: int = 3,
                        chunks: int = 4) -> DataFrame:
     """Near-dup candidates by Hamming distance: band the 64-bit simhash
     into `chunks` 16-bit pieces; distance ≤ chunks-1 guarantees one exact
-    chunk match (pigeonhole) → join per chunk, then exact popcount filter."""
+    chunk match (pigeonhole) → join per chunk, then exact popcount filter.
+    Single-scan posexplode, same shape as `lsh_candidate_pairs`."""
     width = 64 // chunks
     mask = (1 << width) - 1
-    pieces = []
-    for c in range(chunks):
-        pieces.append(
-            sig.select(
-                "doc_id", F.col("simhash"), F.lit(c).alias("chunk"),
-                F.shiftrightunsigned("simhash", c * width).bitwiseAND(F.lit(mask)).alias("piece"),
-            )
-        )
-    parts = pieces[0]
-    for p in pieces[1:]:
-        parts = parts.unionByName(p)
+    piece_arr = F.array(*[
+        F.shiftrightunsigned("simhash", c * width).bitwiseAND(F.lit(mask))
+        for c in range(chunks)
+    ])
+    parts = sig.select("doc_id", F.col("simhash"),
+                       F.posexplode(piece_arr).alias("chunk", "piece"))
     a, b = parts.alias("a"), parts.alias("b")
     cand = (
         a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.piece") == F.col("b.piece"))

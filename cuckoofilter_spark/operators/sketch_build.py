@@ -16,15 +16,18 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cuckoofilter_spark.operators.build import BLOB_SCHEMA, _keys_from_series
+from cuckoofilter_spark.operators.build import BLOB_SCHEMA
 from cuckoofilter_spark.sketches.base import deserialize_sketch, serialize_sketch
 
 
-def _numeric_from_series(s: pd.Series) -> np.ndarray:
-    if len(s) and isinstance(s.iloc[0], (list, np.ndarray)):
-        arrs = [np.asarray(a, dtype=np.float64) for a in s if a is not None and len(a)]
-        return np.concatenate(arrs) if arrs else np.empty(0, dtype=np.float64)
-    return s.to_numpy(dtype=np.float64, na_value=np.nan)
+def _numeric_from_arrow(col) -> np.ndarray:
+    """Flatten an Arrow scalar/list numeric column to float64 (nulls → NaN,
+    dropped by quantile sketches); zero-copy offset arithmetic."""
+    import pyarrow as pa
+
+    if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+        col = col.flatten()
+    return col.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
 
 
 def build_sketch(df: DataFrame, col: str, factory: Callable[[int], object],
@@ -36,23 +39,31 @@ def build_sketch(df: DataFrame, col: str, factory: Callable[[int], object],
     randomness off the id).  ``values``: "int" for key sketches
     (Bloom/HLL/CMS), "float" for quantile sketches (KLL/t-digest).
     """
-    extract = _keys_from_series if values == "int" else _numeric_from_series
+    import pyarrow as pa
 
-    def build_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from cuckoofilter_spark.operators.build import _keys_from_arrow
+
+    extract = _keys_from_arrow if values == "int" else _numeric_from_arrow
+
+    def build_fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
         sk = factory(pid)
         n_rows = 0
         n_items = 0
-        for pdf in batches:
-            vals = extract(pdf.iloc[:, 0])
-            n_rows += len(pdf)
+        for b in batches:
+            vals = extract(b.column(0))
+            n_rows += b.num_rows
             n_items += len(vals)
             if len(vals):
                 sk.update(vals)
-        yield pd.DataFrame({"pid": [pid], "blob": [serialize_sketch(sk)],
-                            "n_rows": [n_rows], "n_items": [n_items]})
+        yield pa.record_batch({
+            "pid": pa.array([pid], pa.int64()),
+            "blob": pa.array([serialize_sketch(sk)], pa.binary()),
+            "n_rows": pa.array([n_rows], pa.int64()),
+            "n_items": pa.array([n_items], pa.int64()),
+        })
 
     def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("pid")
@@ -68,9 +79,10 @@ def build_sketch(df: DataFrame, col: str, factory: Callable[[int], object],
     proj = df.select(col)
     if num_partitions is not None:
         proj = proj.repartition(num_partitions)
-    blobs = proj.mapInPandas(build_fn, schema=BLOB_SCHEMA)
-
-    n = blobs.count()
+        n = num_partitions
+    else:
+        n = proj.rdd.getNumPartitions()
+    blobs = proj.mapInArrow(build_fn, schema=BLOB_SCHEMA)
     cur = blobs
     while n > fanin:
         cur = (

@@ -1,0 +1,101 @@
+"""Multimodal plumbing (stubbed codec, real Spark machinery) and the SQL
+registration surface."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter_spark.operators.multimodal import (
+    FEATURE_DIM,
+    MEDIA_SCHEMA,
+    extract_features,
+    frame_sample_plan,
+    media_stats,
+)
+
+
+@pytest.fixture()
+def media_df(spark):
+    rows = []
+    rng = np.random.default_rng(1)
+    for i in range(50):
+        mt = ["image", "audio", "video"][i % 3]
+        payload = bytes(rng.integers(0, 256, size=200 + i, dtype=np.uint8))
+        rows.append((i, payload, mt, 64, 48, 16000 if mt == "audio" else None,
+                     30 if mt == "video" else None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4)
+
+
+def test_extract_features_shape_and_determinism(spark, media_df):
+    out = extract_features(media_df).collect()
+    assert len(out) == 50
+    for r in out:
+        assert len(r["features"]) == FEATURE_DIM
+        assert r["n_bytes"] >= 200
+    # deterministic across runs / partitionings
+    out2 = {r["media_id"]: r["features"] for r in
+            extract_features(media_df.repartition(7)).collect()}
+    for r in out:
+        assert out2[r["media_id"]] == r["features"]
+
+
+def test_strict_mode_marks_codec_boundary(spark, media_df):
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as exc:
+        extract_features(media_df, decode="strict").collect()
+    assert "NotImplementedError" in str(exc.value) or isinstance(
+        exc.value, NotImplementedError)
+
+
+def test_frame_sample_plan(spark, media_df):
+    out = frame_sample_plan(media_df, every_n=10).collect()
+    vids = media_df.filter(F.col("media_type") == "video").count()
+    # 30 frames, every 10th → indices 0,10,20 per video
+    assert len(out) == vids * 3
+
+
+def test_media_stats_prunes_payload(spark, media_df, tmp_path):
+    # via parquet so the scan's ReadSchema is observable
+    p = str(tmp_path / "media")
+    media_df.write.parquet(p)
+    df = media_stats(spark.read.parquet(p))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in plan  # binary column pruned from the scan
+    assert df.count() == 3
+
+
+def test_register_filter_sql(spark, sf_dir):
+    from cuckoofilter_spark.functions import register_filter
+    from cuckoofilter_spark.operators.build import build_filter
+    from cuckoofilter_spark.params import CuckooParams
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_partkey")
+    filt = build_filter(li, "l_partkey", CuckooParams(max_table_size=4096),
+                        num_partitions=4)
+    register_filter(spark, filt, "corpus_contains")
+    spark.read.parquet(f"{sf_dir}/part.parquet").createOrReplaceTempView("part_v")
+    n = spark.sql(
+        "SELECT count(*) AS n FROM part_v WHERE corpus_contains(p_partkey)"
+    ).collect()[0]["n"]
+    assert n == spark.table("part_v").count()  # all parts are members
+
+
+def test_register_sketch_sql(spark, sf_dir):
+    from cuckoofilter_spark.functions import register_sketch
+    from cuckoofilter_spark.operators.sketch_build import build_sketch
+    from cuckoofilter_spark.sketches.countmin import CountMinSketch
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_suppkey")
+    cms = build_sketch(li, "l_suppkey",
+                       lambda pid: CountMinSketch(depth=5, width=4096, seed=3),
+                       num_partitions=4)
+    register_sketch(spark, cms, "supp_freq")
+    li.createOrReplaceTempView("li_v")
+    rows = spark.sql("""
+        SELECT l_suppkey, count(*) AS true_cnt, supp_freq(l_suppkey) AS est
+        FROM li_v GROUP BY l_suppkey ORDER BY true_cnt DESC LIMIT 5
+    """).collect()
+    for r in rows:
+        assert r["est"] >= r["true_cnt"]
+        assert r["est"] <= r["true_cnt"] + cms.eps * cms.n_items
