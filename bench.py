@@ -114,21 +114,41 @@ def run_at(cpus: int, n_docs: int) -> tuple[float, int]:
         spark.stop()
 
 
+def run_at_isolated(cpus: int, n_docs: int) -> tuple[float, int]:
+    """run_at in a fresh subprocess: successive SparkSessions in one
+    process share a JVM and pollute each other's timings (measured 3×
+    swings); a clean process per parallelism level is the only fair
+    comparison."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--run-one",
+         str(cpus), str(n_docs)],
+        capture_output=True, text=True, check=True, cwd=os.path.dirname(
+            os.path.abspath(__file__)))
+    for line in out.stdout.splitlines():
+        if line.startswith("{"):
+            d = json.loads(line)
+            return d["sec"], d["n_tokens"]
+    raise RuntimeError(f"no result from subprocess: {out.stdout[-500:]}\n"
+                       f"{out.stderr[-500:]}")
+
+
 def main() -> None:
     sf = sf_of(SF_DIR)
     result: dict = {"metric": "cf_build_merge_tokens_per_sec", "unit": "tokens/sec",
                     "sf": sf, "cpus": CPUS}
 
     # -- headline build at full parallelism --------------------------------
-    build_sec, n_tokens = run_at(CPUS, BENCH_DOCS)
+    build_sec, n_tokens = run_at_isolated(CPUS, BENCH_DOCS)
     result["build_sec"] = round(build_sec, 3)
     result["n_tokens"] = n_tokens
     result["value"] = round(n_tokens / build_sec, 1)
 
     # -- scaling evidence (north_rule N → 4N) ------------------------------
     if SCALING:
-        sec_lo, _ = run_at(SCALE_LO, BENCH_DOCS)
-        sec_hi, _ = run_at(SCALE_HI, BENCH_DOCS)
+        sec_lo, _ = run_at_isolated(SCALE_LO, BENCH_DOCS)
+        sec_hi, _ = run_at_isolated(SCALE_HI, BENCH_DOCS)
         eff = (sec_lo / sec_hi) / (SCALE_HI / SCALE_LO)
         result["scaling"] = {
             "cpus_lo": SCALE_LO, "tokens_per_sec_lo": round(n_tokens / sec_lo, 1),
@@ -154,4 +174,8 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 4 and sys.argv[1] == "--run-one":
+        sec, n = run_at(int(sys.argv[2]), int(sys.argv[3]))
+        print(json.dumps({"sec": sec, "n_tokens": n}))
+    else:
+        main()

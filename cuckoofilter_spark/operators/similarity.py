@@ -19,6 +19,7 @@ Scale design:
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -80,6 +81,53 @@ def neardup_pairs(corpus: DataFrame, tau_x1e4: int = 9000,
         .filter(F.col("cos_x1e4") >= tau_x1e4)
         .select("v1", "v2", "cos_x1e4")
     )
+
+
+def neardup_pairs_blas(corpus: DataFrame, tau_x1e4: int = 9000,
+                       vec_col: str = "embedding", id_col: str = "vec_id",
+                       block: int = 1024) -> DataFrame:
+    """All-pairs cosine ≥ τ via blocked float64 GEMM: the corpus matrix is
+    broadcast once (n×d — use the LSH path beyond ~1M×64), and each task
+    multiplies its row-block against the whole matrix with one BLAS call.
+    ~100× the throughput of per-pair expression evaluation (2.4 GFLOP of
+    dot products is milliseconds in GEMM, minutes in interpreted
+    higher-order SQL functions).  Output identical to `neardup_pairs`:
+    (v1, v2, cos_x1e4) with v1 < v2."""
+    import pandas as pd
+    from collections.abc import Iterator
+
+    spark = corpus.sparkSession
+    rows = corpus.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    mat = np.array([rows[i][1] for i in order], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, mat))
+    n = len(ids)
+    n_blocks = -(-n // block)
+    tau = tau_x1e4
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_, mat_ = bc.value
+        for pdf in batches:
+            for b in pdf["b"]:
+                lo, hi = b * block, min((b + 1) * block, len(ids_))
+                sims = mat_[lo:hi] @ mat_.T  # (block, n)
+                scaled = np.floor(sims * 10000)
+                bi, bj = np.nonzero(scaled >= tau)
+                gi = bi + lo
+                keep = gi < bj  # upper triangle, v1 < v2 by sorted ids
+                if not keep.any():
+                    continue
+                yield pd.DataFrame({
+                    "v1": ids_[gi[keep]], "v2": ids_[bj[keep]],
+                    "cos_x1e4": scaled[bi[keep], bj[keep]].astype(np.int64),
+                })
+
+    blocks_df = spark.createDataFrame([(b,) for b in range(n_blocks)], "b long") \
+        .repartition(min(n_blocks, spark.sparkContext.defaultParallelism))
+    return blocks_df.mapInPandas(fn, schema="v1 long, v2 long, cos_x1e4 long")
 
 
 def rp_lsh_buckets(corpus: DataFrame, nbits: int = 16, seed: int = 42,

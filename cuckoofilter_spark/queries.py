@@ -443,7 +443,7 @@ EMB_TAU = 4000
 
 
 def q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return S.neardup_pairs(T(spark, sf_dir, "embeddings"), tau_x1e4=EMB_TAU)
+    return S.neardup_pairs_blas(T(spark, sf_dir, "embeddings"), tau_x1e4=EMB_TAU)
 
 
 SQL_EMB_NEARDUP = f"""
