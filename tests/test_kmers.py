@@ -1,0 +1,85 @@
+"""String-key and token n-gram membership — the FASTA k-mer workload
+(Tests/cf_fasta_test.cpp) re-expressed over the input_hint token table."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter_spark.operators.kmers import (
+    build_ngram_filter,
+    build_string_filter,
+    contains_ngrams,
+    hashed_key,
+    ngram_hashes,
+)
+from cuckoofilter_spark.params import CuckooParams
+
+
+def test_ngram_hashes_match_window_semantics():
+    toks = np.array([1, 2, 3, 4, 5], dtype=np.int64)
+    h3 = ngram_hashes(toks, 3)
+    assert len(h3) == 3  # stride-1 windows, FASTA nextKMere semantics
+    # same window content → same hash, regardless of position
+    assert ngram_hashes(np.array([2, 3, 4]), 3)[0] == h3[1]
+    assert len(ngram_hashes(np.array([1, 2]), 3)) == 0
+
+
+def test_flat_batch_masks_document_boundaries():
+    from cuckoofilter_spark.operators.kmers import _flat_ngram_hashes
+
+    # docs [1,2,3] and [4,5,6]: flat windows (3,4,?) (2,3,4)… crossing the
+    # boundary must not appear
+    ends = np.array([3, 6], dtype=np.int64)
+    values = np.array([1, 2, 3, 4, 5, 6], dtype=np.int64)
+    got = set(_flat_ngram_hashes(ends, values, 3).tolist())
+    want = set(ngram_hashes(np.array([1, 2, 3]), 3).tolist()) | \
+        set(ngram_hashes(np.array([4, 5, 6]), 3).tolist())
+    assert got == want
+    cross = ngram_hashes(np.array([2, 3, 4]), 3)[0]
+    assert cross not in got
+
+
+def test_string_filter_no_false_negatives(spark, sf01_dir):
+    docs = spark.read.parquet(f"{sf01_dir}/documents.parquet")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w")).distinct()
+    filt = build_string_filter(words, "w", CuckooParams(max_table_size=4096),
+                               num_partitions=4)
+    probe = words.select(hashed_key("w").alias("h")).toPandas()["h"].to_numpy()
+    assert filt.contains(probe).all()
+
+
+def test_ngram_filter_end_to_end(spark):
+    from cuckoofilter_spark.sources.tokens import synth_tokens_df
+
+    toks_df = synth_tokens_df(spark, n_docs=300, seed=42, num_partitions=4)
+    params = CuckooParams(max_table_size=1 << 16, bits_per_fp=16)
+    filt = build_ngram_filter(toks_df, "tokens", n=5, params=params)
+
+    # zero false negatives: every document's own windows are members
+    rows = toks_df.limit(50).collect()
+    for r in rows:
+        toks = np.asarray(r["tokens"], dtype=np.int64)
+        assert contains_ngrams(filt, toks, 5).all()
+
+    # FPR bounded on never-seen windows (values outside the vocab)
+    rng = np.random.default_rng(9)
+    neg = rng.integers(10**9, 10**10, size=(2000, 5))
+    hits = sum(bool(contains_ngrams(filt, row, 5)[0]) for row in neg)
+    assert hits / 2000 <= max(3 / 2000, params.fpr_bound * 3)
+
+
+def test_ngram_filter_matches_exact_distinct_count(spark):
+    """The filter's stored-count equals the exact distinct n-gram count
+    (within fingerprint-collision slack) — cross-check vs a relational
+    exact computation of the same windows."""
+    from cuckoofilter_spark.sources.tokens import synth_tokens_df
+
+    toks_df = synth_tokens_df(spark, n_docs=100, seed=1, num_partitions=2)
+    params = CuckooParams(max_table_size=1 << 16, bits_per_fp=16)
+    filt = build_ngram_filter(toks_df, "tokens", n=8, params=params)
+
+    pdf = toks_df.toPandas()
+    exact = set()
+    for t in pdf["tokens"]:
+        exact.update(ngram_hashes(np.asarray(t, dtype=np.int64), 8).tolist())
+    assert abs(filt.element_count - len(exact)) <= max(3, len(exact) * 0.001)
