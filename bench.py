@@ -95,13 +95,26 @@ def timed_build(spark, n_docs: int) -> tuple[float, int]:
     # best of 2: the first run after corpus generation pays writeback /
     # cold page-cache costs that aren't the engine's steady state
     best = None
+    filt = None
     for _ in range(2):
         t0 = time.time()
         filt = build_filter_from_parquet(spark, path, "tokens", params)
         dt = time.time() - t0
         assert filt.element_count > 0
         best = dt if best is None else min(best, dt)
-    return best, int(n_tokens)
+    return best, int(n_tokens), _answers_digest(filt)
+
+
+def _answers_digest(filt) -> str:
+    """Digest of membership answers on a fixed probe set — two builds at
+    different parallelism must produce the identical digest (north_rule:
+    identical estimates at N and 4N)."""
+    import hashlib
+
+    import numpy as np
+
+    probes = np.arange(0, 60_000, 7, dtype=np.int64)  # spans vocab + oov
+    return hashlib.md5(filt.contains(probes).tobytes()).hexdigest()
 
 
 def run_at(cpus: int, n_docs: int) -> tuple[float, int]:
@@ -119,7 +132,7 @@ def run_at(cpus: int, n_docs: int) -> tuple[float, int]:
         spark.stop()
 
 
-def run_at_isolated(cpus: int, n_docs: int) -> tuple[float, int]:
+def run_at_isolated(cpus: int, n_docs: int) -> tuple[float, int, str]:
     """run_at in a fresh subprocess: successive SparkSessions in one
     process share a JVM and pollute each other's timings (measured 3×
     swings); a clean process per parallelism level is the only fair
@@ -134,7 +147,7 @@ def run_at_isolated(cpus: int, n_docs: int) -> tuple[float, int]:
     for line in out.stdout.splitlines():
         if line.startswith("{"):
             d = json.loads(line)
-            return d["sec"], d["n_tokens"]
+            return d["sec"], d["n_tokens"], d["digest"]
     raise RuntimeError(f"no result from subprocess: {out.stdout[-500:]}\n"
                        f"{out.stderr[-500:]}")
 
@@ -145,20 +158,23 @@ def main() -> None:
                     "sf": sf, "cpus": CPUS}
 
     # -- headline build at full parallelism --------------------------------
-    build_sec, n_tokens = run_at_isolated(CPUS, BENCH_DOCS)
+    build_sec, n_tokens, digest = run_at_isolated(CPUS, BENCH_DOCS)
     result["build_sec"] = round(build_sec, 3)
     result["n_tokens"] = n_tokens
     result["value"] = round(n_tokens / build_sec, 1)
 
     # -- scaling evidence (north_rule N → 4N) ------------------------------
     if SCALING:
-        sec_lo, _ = run_at_isolated(SCALE_LO, BENCH_DOCS)
-        sec_hi, _ = run_at_isolated(SCALE_HI, BENCH_DOCS)
+        sec_lo, _, dig_lo = run_at_isolated(SCALE_LO, BENCH_DOCS)
+        sec_hi, _, dig_hi = run_at_isolated(SCALE_HI, BENCH_DOCS)
         eff = (sec_lo / sec_hi) / (SCALE_HI / SCALE_LO)
         result["scaling"] = {
             "cpus_lo": SCALE_LO, "tokens_per_sec_lo": round(n_tokens / sec_lo, 1),
             "cpus_hi": SCALE_HI, "tokens_per_sec_hi": round(n_tokens / sec_hi, 1),
             "efficiency": round(eff, 3),
+            # same answers at every parallelism level (deterministic merge
+            # tree) — includes the full-parallelism headline build
+            "identical_estimates": (dig_lo == dig_hi == digest),
         }
 
     # -- query suite -------------------------------------------------------
@@ -180,7 +196,7 @@ def main() -> None:
 
 if __name__ == "__main__":
     if len(sys.argv) >= 4 and sys.argv[1] == "--run-one":
-        sec, n = run_at(int(sys.argv[2]), int(sys.argv[3]))
-        print(json.dumps({"sec": sec, "n_tokens": n}))
+        sec, n, digest = run_at(int(sys.argv[2]), int(sys.argv[3]))
+        print(json.dumps({"sec": sec, "n_tokens": n, "digest": digest}))
     else:
         main()

@@ -394,7 +394,10 @@ JACCARD_TAU = 8000
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.jaccard_pairs(D.shingles(T(spark, sf_dir, "documents"), 3), JACCARD_TAU)
+    """Prefix-filtered (PPJoin-style) exact Jaccard — identical output to
+    the naive self-join, radically smaller candidate set at scale."""
+    return D.jaccard_pairs_prefix(D.shingles(T(spark, sf_dir, "documents"), 3),
+                                  JACCARD_TAU)
 
 
 SQL_NGRAM_JACCARD = ("WITH " + _SQL_SHINGLES + ", " +
@@ -477,6 +480,40 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_i
 """
 
 
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline: quality gate → exact dedup →
+    near-dup removal (drop the larger doc_id of every Jaccard ≥ 0.8 pair).
+    The composed pipeline stays exact, so the whole thing oracle-checks."""
+    docs = T(spark, sf_dir, "documents")
+    q = TX.quality_score(docs).filter(F.col("len_ok") & F.col("has_stopwords"))
+    kept = docs.join(q.select("doc_id"), "doc_id", "left_semi")
+    exact = D.exact_dedup(kept).select(F.col("keep_id").alias("doc_id"))
+    kept = kept.join(exact, "doc_id", "left_semi")
+    dups = D.jaccard_pairs_prefix(D.shingles(kept, 3), JACCARD_TAU).select(
+        F.col("d2").alias("doc_id")).distinct()
+    return (kept.join(dups, "doc_id", "left_anti")
+            .select("doc_id", F.col("n_chars").cast("long").alias("n_chars")))
+
+
+SQL_CLEAN_CORPUS = f"""
+WITH w AS (SELECT doc_id, n_chars, text, string_split(text,' ') AS ws FROM documents),
+q AS (SELECT doc_id, n_chars, text FROM w
+      WHERE len(ws) >= 20 AND len(list_filter(ws, x -> x IN {_SQL_STOP})) > 0),
+ex AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+kept AS (SELECT q.* FROM q JOIN ex USING (doc_id)),
+{_SQL_SHINGLES.replace('FROM documents', 'FROM kept')},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+dups AS (SELECT DISTINCT d2 AS doc_id FROM inter
+         JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+         WHERE floor(i * 10000 / (sa.n_sh + sb.n_sh - i)) >= {JACCARD_TAU})
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dups)
+"""
+
+
 def q_word_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-key membership (the FASTA/CityHash workload shape,
     Tests/cf_fasta_test.cpp): build a filter over every distinct word of
@@ -552,6 +589,7 @@ QUERIES = {
     "emb_neardup": q_emb_neardup,
     "events_dedup": q_events_dedup,
     "word_membership": q_word_membership,
+    "clean_corpus": q_clean_corpus,
     "tokens_cf_build": q_tokens_cf_build,
 }
 
@@ -575,6 +613,7 @@ ORACLES = {
     "emb_neardup": SQL_EMB_NEARDUP,
     "events_dedup": SQL_EVENTS_DEDUP,
     "word_membership": SQL_WORD_MEMBERSHIP,
+    "clean_corpus": SQL_CLEAN_CORPUS,
     # simhash_dups, tokens_cf_build: rows-only (hash-seeded / synthesized
     # input not expressible in the oracle engine)
 }

@@ -83,3 +83,22 @@ def test_ngram_filter_matches_exact_distinct_count(spark):
     for t in pdf["tokens"]:
         exact.update(ngram_hashes(np.asarray(t, dtype=np.int64), 8).tolist())
     assert abs(filt.element_count - len(exact)) <= max(3, len(exact) * 0.001)
+
+
+def test_prefix_jaccard_equals_naive(spark, sf01_dir):
+    """PPJoin prefix filtering is an optimization, not an approximation."""
+    from cuckoofilter_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_prefix,
+        shingles,
+    )
+
+    sh = shingles(spark.read.parquet(f"{sf01_dir}/documents.parquet"), 3).persist()
+    try:
+        naive = {tuple(r) for r in jaccard_pairs(sh, 5000).collect()}
+        prefix = {tuple(r) for r in jaccard_pairs_prefix(sh, 5000).collect()}
+    finally:
+        # leave no cached subtree behind — later plan-shape tests would
+        # resolve their logically-equal subtrees to this cache
+        sh.unpersist()
+    assert naive == prefix and len(naive) > 0
