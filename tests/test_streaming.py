@@ -89,3 +89,47 @@ def test_streaming_distinct_by_key(spark, token_files, tmp_path):
     for k, e in exact.items():
         assert k in got
         assert abs(got[k] - e) / e <= rel, (k, got[k], e)
+
+
+def test_windowed_distinct_with_watermark(spark, tmp_path):
+    """Tumbling 10-min windows over event time: per-window streaming NDV
+    matches exact distinct counts within the HLL bound."""
+    import pyspark.sql.functions as F
+
+    from cuckoofilter_spark.streaming.windowed import windowed_distinct
+
+    src = str(tmp_path / "ev")
+    # 3 windows x ~2000 events, several files so the stream has triggers
+    (spark.range(6000)
+     .select(
+         F.timestamp_seconds(1_700_000_000 + (F.col("id") * 3)).alias("ts"),
+         (F.col("id") % 997).alias("uid"))
+     .repartition(4).write.parquet(src))
+    batch = spark.read.parquet(src)
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+
+    # files arrive in arbitrary order → a tight watermark would (correctly)
+    # drop whole files as late; cover the full disorder so every event is
+    # on-time and the accuracy assertion is exact-comparable
+    out = windowed_distinct(stream, "ts", "uid", window="10 minutes",
+                            watermark="6 hours", p=12)
+    q = (out.writeStream.format("memory").queryName("win_ndv")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = {}
+    for r in spark.sql("SELECT * FROM win_ndv").collect():
+        got[r["window_start"]] = r["ndv_estimate"]  # last update per window
+    exact = {
+        r["w"]["start"]: r["ndv"]
+        for r in (batch.groupBy(F.window("ts", "10 minutes").alias("w"))
+                  .agg(F.countDistinct("uid").alias("ndv")).collect())
+    }
+    assert set(got) == set(exact)
+    import numpy as np
+
+    rel = 3 * 1.04 / np.sqrt(1 << 12)
+    for w, e in exact.items():
+        assert abs(got[w] - e) / e <= rel, (w, got[w], e)
