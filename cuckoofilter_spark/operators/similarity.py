@@ -130,6 +130,90 @@ def neardup_pairs_blas(corpus: DataFrame, tau_x1e4: int = 9000,
     return blocks_df.mapInPandas(fn, schema="v1 long, v2 long, cos_x1e4 long")
 
 
+def kmeans_centroids(corpus: DataFrame, n_clusters: int = 64, seed: int = 42,
+                     sample: int = 10_000, iters: int = 10,
+                     vec_col: str = "embedding") -> "np.ndarray":
+    """Driver-side Lloyd's k-means on a deterministic sample — the IVF
+    coarse quantizer.  The sample is tiny relative to the corpus (the
+    centroids are what get broadcast); at 10^12 scale this is the standard
+    train-on-sample / assign-distributed split."""
+    rows = (corpus.select(vec_col).orderBy(F.rand(seed)).limit(sample).collect())
+    x = np.array([r[0] for r in rows], dtype=np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)  # cosine on unit vectors
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def ivf_assign(corpus: DataFrame, centroids: "np.ndarray",
+               vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """(id, cell) assignment — one GEMM per Arrow batch against the
+    broadcast centroid matrix."""
+    import pandas as pd
+    from collections.abc import Iterator
+
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cent = bc.value
+        for pdf in batches:
+            m = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                "cell": np.argmax(m @ cent.T, axis=1)})
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        fn, schema=f"{id_col} long, cell long")
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, centroids: "np.ndarray",
+             k: int = 5, nprobe: int = 4, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """IVF approximate top-k: probe only the `nprobe` nearest cells per
+    query instead of the whole corpus — the scan shrinks by
+    ~n_clusters/nprobe.  Join is corpus-cell ⋈ query-cell (uniform-ish
+    keys), exact rescoring inside the candidate set.  Recall < 1 by
+    construction; raise `nprobe` to trade scan for recall."""
+    from pyspark.sql import Window
+
+    cells = ivf_assign(corpus, centroids, vec_col, id_col)
+    with_cell = corpus.join(cells, id_col)
+
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = [int(r[0]) for r in qrows]
+    qm = np.array([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    probe = np.argsort(-(qm @ centroids.T), axis=1)[:, :nprobe]
+    pairs = [(int(q), int(c)) for q, row in zip(qids, probe) for c in row]
+    spark = corpus.sparkSession
+    qcells = spark.createDataFrame(pairs, "q_id long, cell long")
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+
+    cand = (
+        with_cell.join(F.broadcast(qcells), "cell")
+        .join(F.broadcast(q), "q_id")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .withColumn("cos_x1e4",
+                    F.floor(cosine(F.col("q_vec"), F.col(vec_col)) * 10000).cast("long"))
+        .select("q_id", F.col(id_col).alias("nbr_id"), "cos_x1e4")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_x1e4"), F.asc("nbr_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "nbr_id", F.col("rank").cast("long").alias("rank"),
+                    "cos_x1e4"))
+
+
 def rp_lsh_buckets(corpus: DataFrame, nbits: int = 16, seed: int = 42,
                    dim: int = 64, vec_col: str = "embedding",
                    id_col: str = "vec_id") -> DataFrame:
@@ -152,22 +236,35 @@ def rp_lsh_buckets(corpus: DataFrame, nbits: int = 16, seed: int = 42,
     return corpus.select(F.col(id_col), bucket.alias("bucket"))
 
 
-def lsh_neardup_pairs(corpus: DataFrame, tau_x1e4: int = 9000, nbits: int = 12,
-                      seed: int = 42, dim: int = 64, vec_col: str = "embedding",
+def lsh_neardup_pairs(corpus: DataFrame, tau_x1e4: int = 9000, nbits: int = 8,
+                      tables: int = 8, seed: int = 42, dim: int = 64,
+                      vec_col: str = "embedding",
                       id_col: str = "vec_id") -> DataFrame:
-    """Scale path: bucket by hyperplane signs, exact-rescore within buckets.
-    Recall < 1 by construction (LSH); union over several seeds tightens it."""
-    bk = rp_lsh_buckets(corpus, nbits, seed, dim, vec_col, id_col)
-    with_b = corpus.join(bk, id_col)
-    a = with_b.select(F.col(id_col).alias("v1"), F.col(vec_col).alias("vec_a"),
-                      F.col("bucket"))
-    b = with_b.select(F.col(id_col).alias("v2"), F.col(vec_col).alias("vec_b"),
-                      F.col("bucket"))
+    """Scale path: multi-table cosine LSH.  ``tables`` independent
+    hyperplane sets; a pair is a candidate if it collides in ANY table
+    (P = 1-(1-p^nbits)^tables, p = 1-θ/π), then exact rescoring keeps
+    candidates above τ — so false positives are impossible and recall is
+    tuned by (nbits, tables): more bits → smaller buckets (scan shrinks),
+    more tables → higher recall.  Size ``nbits ≈ log2(n/target_bucket)``
+    at corpus scale."""
+    bks = [
+        rp_lsh_buckets(corpus, nbits, seed + 1000 * t, dim, vec_col, id_col)
+        .withColumn("tbl", F.lit(t))
+        for t in range(tables)
+    ]
+    buckets = bks[0]
+    for b in bks[1:]:
+        buckets = buckets.unionByName(b)
+    a = buckets.select(F.col(id_col).alias("v1"), "tbl", "bucket")
+    b = buckets.select(F.col(id_col).alias("v2"), "tbl", "bucket")
+    cand = (a.join(b, ["tbl", "bucket"]).filter(F.col("v1") < F.col("v2"))
+            .select("v1", "v2").distinct())
+    va = corpus.select(F.col(id_col).alias("v1"), F.col(vec_col).alias("vec_a"))
+    vb = corpus.select(F.col(id_col).alias("v2"), F.col(vec_col).alias("vec_b"))
     return (
-        a.join(b, ["bucket"]).filter(F.col("v1") < F.col("v2"))
+        cand.join(va, "v1").join(vb, "v2")
         .withColumn("cos_x1e4",
                     F.floor(cosine(F.col("vec_a"), F.col("vec_b")) * 10000).cast("long"))
         .filter(F.col("cos_x1e4") >= tau_x1e4)
         .select("v1", "v2", "cos_x1e4")
-        .distinct()
     )

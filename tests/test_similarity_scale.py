@@ -1,0 +1,55 @@
+"""Approximate-similarity scale paths: IVF and RP-LSH vs the exact
+brute-force baseline — recall bounds, not exactness (by construction)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+    kmeans_centroids,
+    lsh_neardup_pairs,
+    neardup_pairs_blas,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf01_dir):
+    return spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
+
+
+def test_ivf_topk_recall(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries, k=5)
+    cent = kmeans_centroids(emb, n_clusters=16, seed=42, sample=500)
+    approx = ivf_topk(emb, queries, cent, k=5, nprobe=4)
+
+    e = {(r["q_id"], r["nbr_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["nbr_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, recall  # nprobe=4/16 cells scanned
+
+
+def test_ivf_scores_match_exact_on_hits(spark, emb):
+    """Where IVF returns a pair the exact search also returns, the scores
+    are identical (same rescoring arithmetic)."""
+    queries = emb.filter(F.col("vec_id") < 10)
+    cent = kmeans_centroids(emb, n_clusters=16, seed=42, sample=500)
+    e = {(r["q_id"], r["nbr_id"]): r["cos_x1e4"]
+         for r in cosine_topk(emb, queries, k=5).collect()}
+    for r in ivf_topk(emb, queries, cent, k=5, nprobe=4).collect():
+        key = (r["q_id"], r["nbr_id"])
+        if key in e:
+            assert e[key] == r["cos_x1e4"]
+
+
+def test_lsh_neardup_recall_vs_exact(spark, emb):
+    exact = {(r["v1"], r["v2"]) for r in
+             neardup_pairs_blas(emb, tau_x1e4=4000).collect()}
+    got = {(r["v1"], r["v2"]) for r in
+           lsh_neardup_pairs(emb, tau_x1e4=4000, nbits=4, tables=16,
+                             seed=1).collect()}
+    assert got <= exact or not exact  # no false positives (exact rescoring)
+    if exact:
+        # τ=0.4 ⇒ θ≈66°, per-bit p≈0.63: P(candidate) = 1-(1-p^4)^16 ≈ 0.94
+        assert len(got & exact) / len(exact) >= 0.6
