@@ -460,6 +460,14 @@ WHERE floor(list_cosine_similarity(
 """
 
 
+def q_emb_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors (scale path; rows-only — recall
+    is by construction < 1, bounded in tests/test_similarity_scale.py)."""
+    emb = T(spark, sf_dir, "embeddings")
+    cent = S.kmeans_centroids(emb, n_clusters=16, seed=42, sample=500)
+    return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), cent, k=5, nprobe=4)
+
+
 def q_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep the first event per (user_id, event_type) — window-function
     dedup, the streaming-upsert pattern in batch form."""
@@ -562,7 +570,7 @@ def q_tokens_cf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_docs=1000,
         head_found=found, head_n=len(sample),
         fpr_within_bound=(n_fp / NEG_N <= params.fpr_bound),
-        load_x1e4=int(filt.load_factor() * 100),
+        load_pct=int(filt.load_factor() * 100),
     )
 
 
@@ -587,6 +595,7 @@ QUERIES = {
     "simhash_dups": q_simhash_dups,
     "emb_topk": q_emb_topk,
     "emb_neardup": q_emb_neardup,
+    "emb_topk_ivf": q_emb_topk_ivf,
     "events_dedup": q_events_dedup,
     "word_membership": q_word_membership,
     "clean_corpus": q_clean_corpus,

@@ -15,8 +15,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# direct `python jobs/build_filter.py` runs: repo root on path (under
+# spark-submit, --py-files provides the package instead)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def parse_args(argv):
@@ -57,7 +62,7 @@ def main(argv=None) -> None:
         "element_count": filt.element_count,
         "cf_count": filt.cf_count,
         "load_factor": round(filt.load_factor(), 2),
-        "memory_bytes": filt.memory_bytes,
+        "memory_bytes": filt.memory_bytes(),
         "filter_path": f"{args.ckpt}/filter.bin",
     }))
 
