@@ -522,6 +522,90 @@ FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dups)
 """
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via window functions —
+    lag + cumulative sum of session starts per user.  Exact."""
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = epoch - F.lag(epoch).over(w)
+    starts = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = (ev.withColumn("s", starts)
+            .withColumn("session_no", F.sum("s").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (sess.groupBy("user_id", "session_no")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.min("event_id").cast("long").alias("first_event"))
+            .select("user_id", F.col("session_no").cast("long").alias("session_no"),
+                    "n_events", "first_event"))
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS s
+  FROM events),
+x AS (SELECT user_id, event_id,
+        SUM(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM g)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(event_id) AS BIGINT) AS first_event
+FROM x GROUP BY user_id, session_no
+"""
+
+
+def q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (status × priority hierarchy) — grouping-set
+    coverage; cents-integer money so sums are exact."""
+    o = T(spark, sf_dir, "orders").withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100).cast("long"))
+    return (o.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("cents").cast("long").alias("total_cents"))
+            .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                    F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+                    "n", "total_cents"))
+
+
+SQL_ORDERS_ROLLUP = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window: top-3 parts by retail price within each brand,
+    deterministic tie-break on partkey.  Exact."""
+    from pyspark.sql import Window
+
+    p = T(spark, sf_dir, "part").withColumn(
+        "price_cents", F.round(F.col("p_retailprice") * 100).cast("long"))
+    w = Window.partitionBy("p_brand").orderBy(F.desc("price_cents"), F.asc("p_partkey"))
+    return (p.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .select("p_brand", "p_partkey", F.col("rk").cast("long").alias("rk"),
+                    "price_cents"))
+
+
+SQL_TOP_PARTS_PER_BRAND = """
+SELECT p_brand, p_partkey,
+       CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+            ORDER BY CAST(round(p_retailprice*100) AS BIGINT) DESC, p_partkey) AS BIGINT) AS rk,
+       CAST(round(p_retailprice*100) AS BIGINT) AS price_cents
+FROM part QUALIFY rk <= 3
+"""
+
+
 def q_word_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-key membership (the FASTA/CityHash workload shape,
     Tests/cf_fasta_test.cpp): build a filter over every distinct word of
@@ -597,6 +681,9 @@ QUERIES = {
     "emb_neardup": q_emb_neardup,
     "emb_topk_ivf": q_emb_topk_ivf,
     "events_dedup": q_events_dedup,
+    "events_sessionize": q_events_sessionize,
+    "orders_rollup": q_orders_rollup,
+    "top_parts_per_brand": q_top_parts_per_brand,
     "word_membership": q_word_membership,
     "clean_corpus": q_clean_corpus,
     "tokens_cf_build": q_tokens_cf_build,
@@ -621,6 +708,9 @@ ORACLES = {
     "emb_topk": SQL_EMB_TOPK,
     "emb_neardup": SQL_EMB_NEARDUP,
     "events_dedup": SQL_EVENTS_DEDUP,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "orders_rollup": SQL_ORDERS_ROLLUP,
+    "top_parts_per_brand": SQL_TOP_PARTS_PER_BRAND,
     "word_membership": SQL_WORD_MEMBERSHIP,
     "clean_corpus": SQL_CLEAN_CORPUS,
     # simhash_dups, tokens_cf_build: rows-only (hash-seeded / synthesized
