@@ -191,15 +191,20 @@ def build_filter_from_parquet(spark, path: str, col: str, params: CuckooParams,
     if not files:
         return DynamicCuckooFilter(params, dedup=dedup)
     ptuple = params.to_tuple()
+    # one task per file WITHOUT a shuffle stage: a range source already has
+    # exactly n partitions, and the (small) file list rides a broadcast —
+    # a createDataFrame+repartition version costs an extra stage and ~2-3 s
+    # of pre-first-task latency at local[32]
+    bc_files = spark.sparkContext.broadcast(files)
 
     def read_build(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         import pyarrow.parquet as pq
 
         p = CuckooParams.from_tuple(ptuple)
+        flist = bc_files.value
         for b in batches:
-            for row in range(b.num_rows):
-                fid = int(b.column(0)[row].as_py())
-                fpath = b.column(1)[row].as_py()
+            for fid in b.column(0).to_pylist():
+                fpath = flist[fid]
                 filt = DynamicCuckooFilter(p, rng_seed=fid, dedup=dedup)
                 n_rows = 0
                 n_items = 0
@@ -220,10 +225,8 @@ def build_filter_from_parquet(spark, path: str, col: str, params: CuckooParams,
                     "n_items": pa.array([n_items], pa.int64()),
                 })
 
-    paths_df = spark.createDataFrame(
-        [(i, f) for i, f in enumerate(files)], "pid long, path string"
-    ).repartition(len(files), "pid")
-    blobs = paths_df.mapInArrow(read_build, schema=BLOB_SCHEMA)
+    ids_df = spark.range(0, len(files), numPartitions=len(files))
+    blobs = ids_df.mapInArrow(read_build, schema=BLOB_SCHEMA)
     filt, _, _ = tree_merge_blobs(blobs, fanin=fanin, n_blobs=len(files))
     if filt is None:
         filt = DynamicCuckooFilter(params, dedup=dedup)
