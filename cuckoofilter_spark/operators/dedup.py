@@ -117,6 +117,17 @@ def jaccard_pairs_prefix(sh: DataFrame, tau_x1e4: int) -> DataFrame:
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
+    return verify_jaccard_pairs(sh, cand, tau_x1e4, sizes=sizes)
+
+
+def verify_jaccard_pairs(sh: DataFrame, cand: DataFrame, tau_x1e4: int,
+                         sizes: DataFrame | None = None) -> DataFrame:
+    """Exact Jaccard restricted to a candidate pair set (d1, d2): compute
+    intersections only where a candidate exists — the shared verification
+    tail of prefix-filter and MinHash-LSH joins.  Output schema identical
+    to `jaccard_pairs`."""
+    if sizes is None:
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     s1 = sh.select(F.col("doc_id").alias("d1"), "gram")
     s2 = sh.select(F.col("doc_id").alias("d2"), "gram")
     inter = (
@@ -185,8 +196,8 @@ def minhash_near_dups(docs: DataFrame, tau_x1e4: int = 7000, n: int = 3,
     cluster scale this is a checkpoint/persist of the shingle table."""
     sh = shingles(docs, n, text_col).persist()
     cand = lsh_candidate_pairs(minhash_signatures(sh, num_hashes), bands, rows)
-    exact = jaccard_pairs(sh, tau_x1e4)
-    return exact.join(cand, ["d1", "d2"], "left_semi")
+    # exact verification only over candidates — never the all-pairs join
+    return verify_jaccard_pairs(sh, cand, tau_x1e4)
 
 
 # -- SimHash ----------------------------------------------------------------
