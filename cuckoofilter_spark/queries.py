@@ -536,6 +536,49 @@ FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dups)
 """
 
 
+def q_ngram_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-mer-style n-gram membership (FASTA workload, SURVEY §3.2): build
+    the filter over every word 3-gram of the corpus (token-ized via
+    xxhash64 word codes), probe the distinct 3-grams of the first 50
+    documents — all true members → exact vs the SQL distinct count."""
+    from cuckoofilter_spark.operators.kmers import build_ngram_filter, ngram_hashes
+
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.transform(F.split("text", " "),
+                    lambda w: F.xxhash64(w, F.lit(77))
+                    .bitwiseAND(F.lit(0x7FFFFFFF)).cast("int")).alias("tokens"))
+    params = CuckooParams(max_table_size=1 << 17, bits_per_fp=16)
+    filt = build_ngram_filter(toks, "tokens", n=3, params=params)
+
+    head = toks.filter(F.col("doc_id") < 50).collect()
+    probe = set()
+    for r in head:
+        probe.update(ngram_hashes(np.asarray(r["tokens"], dtype=np.int64), 3).tolist())
+    probes = np.fromiter(probe, dtype=np.uint64).astype(np.int64)
+    n_found = int(filt.contains(probes).sum())
+    return _bool_row(
+        spark,
+        n_probes=len(probes), n_found=n_found,
+        zero_false_negatives=(n_found == len(probes)),
+    )
+
+
+SQL_NGRAM_MEMBERSHIP = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+           WHERE doc_id < 50),
+g AS (SELECT DISTINCT gr FROM (
+        SELECT unnest(list_transform(range(len(ws) - 2),
+          i -> ws[i+1] || chr(1) || ws[i+2] || chr(1) || ws[i+3])) AS gr
+        FROM w WHERE len(ws) >= 3))
+SELECT CAST(COUNT(*) AS BIGINT) AS n_found,
+       CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(TRUE AS BOOLEAN) AS zero_false_negatives
+FROM g
+"""
+
+
 def q_routed_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Routed (no-broadcast) membership: filter state lives as a
     (route, blob) table, probes co-partition by route via cogroup — the
@@ -717,6 +760,7 @@ QUERIES = {
     "emb_topk_ivf": q_emb_topk_ivf,
     "events_dedup": q_events_dedup,
     "routed_membership": q_routed_membership,
+    "ngram_membership": q_ngram_membership,
     "events_sessionize": q_events_sessionize,
     "orders_rollup": q_orders_rollup,
     "top_parts_per_brand": q_top_parts_per_brand,
@@ -745,6 +789,7 @@ ORACLES = {
     "emb_neardup": SQL_EMB_NEARDUP,
     "events_dedup": SQL_EVENTS_DEDUP,
     "routed_membership": SQL_ROUTED_MEMBERSHIP,
+    "ngram_membership": SQL_NGRAM_MEMBERSHIP,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "orders_rollup": SQL_ORDERS_ROLLUP,
     "top_parts_per_brand": SQL_TOP_PARTS_PER_BRAND,

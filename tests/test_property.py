@@ -83,3 +83,76 @@ def test_delete_inserted_keys_succeeds(xs):
     ins = f.insert(arr(xs))
     deleted = f.delete(arr(xs)[ins])
     assert deleted.all()  # reference contract: delete of inserted key succeeds
+
+
+# -- sketch merge laws under arbitrary splits --------------------------------
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**40), max_size=400),
+       st.integers(min_value=1, max_value=6))
+def test_hll_split_merge_register_identical(xs, nsplit):
+    from cuckoofilter_spark.sketches.hll import HyperLogLog
+
+    whole = HyperLogLog(p=10, seed=3)
+    whole.update(arr(xs))
+    parts = [HyperLogLog(p=10, seed=3) for _ in range(nsplit)]
+    for i, x in enumerate(xs):
+        parts[i % nsplit].update(arr([x]))
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = acc.merge(p)
+    assert (acc.registers == whole.registers).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**40), max_size=400),
+       st.integers(min_value=1, max_value=6))
+def test_cms_split_merge_counts_identical(xs, nsplit):
+    from cuckoofilter_spark.sketches.countmin import CountMinSketch
+
+    whole = CountMinSketch(depth=3, width=256, seed=5)
+    whole.update(arr(xs))
+    parts = [CountMinSketch(depth=3, width=256, seed=5) for _ in range(nsplit)]
+    for i, x in enumerate(xs):
+        parts[i % nsplit].update(arr([x]))
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = acc.merge(p)
+    assert (acc.counts == whole.counts).all()
+    assert acc.n_items == whole.n_items
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False), min_size=1, max_size=400),
+       st.integers(min_value=1, max_value=4))
+def test_kll_split_merge_rank_bound(xs, nsplit):
+    from cuckoofilter_spark.sketches.kll import KLLSketch
+
+    parts = [KLLSketch(k=100, seed=i) for i in range(nsplit)]
+    for i, x in enumerate(xs):
+        parts[i % nsplit].update(np.asarray([x], dtype=np.float64))
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = acc.merge(p)
+    assert acc.n == len(xs)
+    srt = np.array(sorted(xs))
+    for q in (0.1, 0.5, 0.9):
+        v = acc.quantile(q)
+        # with duplicates the value covers a rank interval — the guarantee
+        # is the distance from q to that interval, not to one endpoint
+        r_lo = np.searchsorted(srt, v, side="left") / len(srt)
+        r_hi = np.searchsorted(srt, v, side="right") / len(srt)
+        dist = max(r_lo - q, q - r_hi, 0.0)
+        assert dist <= 3 * acc.rank_error + 1.0 / len(srt)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**40), max_size=300))
+def test_bloom_no_false_negatives_any_input(xs):
+    from cuckoofilter_spark.sketches.bloom import BloomFilter
+
+    b = BloomFilter.for_capacity(max(len(xs), 8), fpp=1e-3, seed=2)
+    b.update(arr(xs))
+    if xs:
+        assert b.contains(arr(xs)).all()
