@@ -45,13 +45,12 @@ BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1600000"))
 SCALE_LO = int(os.environ.get("SPARK_GRAFT_SCALE_LO", "2"))
 SCALE_HI = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8"))
 
-BENCH_QUERIES = [
-    "cf_member_parts", "cf_build_fpr", "bloom_membership", "hll_ndv",
-    "cms_heavy_hitters", "kll_quantiles", "tdigest_quantiles",
-    "exact_dedup", "token_stats", "quality", "lang_id", "fingerprint",
-    "ngram_jaccard", "minhash_lsh", "simhash_dups", "emb_topk",
-    "emb_neardup", "events_dedup",
-]
+def bench_queries() -> list[str]:
+    """Every registered query, deterministic order — the suite is the
+    benchmark, so additions are timed automatically."""
+    from cuckoofilter_spark.queries import QUERIES
+
+    return sorted(QUERIES)
 
 
 def sf_of(path: str) -> float:
@@ -183,7 +182,7 @@ def main() -> None:
 
     spark = get_spark("bench-queries", master=f"local[{CPUS}]")
     qtimes = {}
-    for name in BENCH_QUERIES:
+    for name in bench_queries():
         t0 = time.time()
         n = QUERIES[name](spark, SF_DIR).count()
         qtimes[name] = round(time.time() - t0, 3)

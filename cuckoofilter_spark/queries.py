@@ -600,6 +600,47 @@ WHERE c_custkey IN (SELECT o_custkey FROM orders)
 """
 
 
+def q_streaming_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming under the gate: per-event-type distinct users
+    via the stateful HLL operator (applyInPandasWithState), checked
+    against the exact batch answer within the 3σ HLL bound."""
+    import tempfile
+
+    from cuckoofilter_spark.streaming.incremental import streaming_distinct_by_key
+
+    batch = T(spark, sf_dir, "events")
+    # the streaming file source requires a directory; glob-select the one
+    # events file from the sf dir
+    stream = (spark.readStream.schema(batch.schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    per_key = streaming_distinct_by_key(
+        stream.select("event_type", "user_id"),
+        key_col="event_type", value_col="user_id", p=14)
+    name = "q_streaming_ndv_sink"
+    with tempfile.TemporaryDirectory() as ck:
+        q = (per_key.writeStream.format("memory").queryName(name)
+             .option("checkpointLocation", ck)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+    got = {r["key"]: r["ndv_estimate"]
+           for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    exact = {r["event_type"]: r["ndv"] for r in
+             batch.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("ndv")).collect()}
+    rel = 3 * 1.04 / (1 << 14) ** 0.5
+    rows = [(k, int(e), bool(k in got and abs(got[k] - e) / e <= rel))
+            for k, e in sorted(exact.items())]
+    return spark.createDataFrame(
+        rows, "event_type string, exact_ndv long, within_3sigma boolean")
+
+
+SQL_STREAMING_NDV = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_ndv,
+       CAST(TRUE AS BOOLEAN) AS within_3sigma
+FROM events GROUP BY event_type
+"""
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) via window functions —
     lag + cumulative sum of session starts per user.  Exact."""
@@ -761,6 +802,7 @@ QUERIES = {
     "events_dedup": q_events_dedup,
     "routed_membership": q_routed_membership,
     "ngram_membership": q_ngram_membership,
+    "streaming_ndv": q_streaming_ndv,
     "events_sessionize": q_events_sessionize,
     "orders_rollup": q_orders_rollup,
     "top_parts_per_brand": q_top_parts_per_brand,
@@ -790,6 +832,7 @@ ORACLES = {
     "events_dedup": SQL_EVENTS_DEDUP,
     "routed_membership": SQL_ROUTED_MEMBERSHIP,
     "ngram_membership": SQL_NGRAM_MEMBERSHIP,
+    "streaming_ndv": SQL_STREAMING_NDV,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "orders_rollup": SQL_ORDERS_ROLLUP,
     "top_parts_per_brand": SQL_TOP_PARTS_PER_BRAND,
