@@ -94,6 +94,19 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def rolling_fingerprint(docs: DataFrame, text_col: str = "text",
+                        mult: int = 31, mod: int = (1 << 31) - 1) -> DataFrame:
+    """Polynomial rolling hash over word hash-codes (Horner form, modular)
+    — the order-sensitive document fingerprint (same text → same code;
+    any reorder/edit → different).  Stays JVM-side via `aggregate`."""
+    ws = words(F.col(text_col))
+    codes = F.transform(ws, lambda w: F.pmod(F.xxhash64(w), F.lit(mod)))
+    fp = F.aggregate(
+        codes, F.lit(0).cast("long"),
+        lambda acc, c: F.pmod(acc * mult + c, F.lit(mod)))
+    return docs.select("doc_id", fp.alias("rolling_fp"))
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Canonicalized exact-content fingerprint: md5 of the lowercased,
     whitespace-normalized text.  The grouping key for exact dedup."""

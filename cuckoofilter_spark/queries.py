@@ -407,6 +407,42 @@ WHERE floor(inter * 10000 / (sa.n_sh + sb.n_sh - inter)) >= {tau}
 JACCARD_TAU = 8000
 
 
+def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint (rows-only: the polynomial
+    runs over xxhash64 word codes, not SQL-reproducible; its invariants —
+    content determinism, order sensitivity — are pytest-gated)."""
+    return TX.rolling_fingerprint(T(spark, sf_dir, "documents"))
+
+
+def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing under the gate: documents become deterministic
+    binary media rows (payload = utf-8 text bytes), the Arrow feature
+    extractor consumes payloads batch-wise, and the surviving exact fields
+    (media_id, n_bytes) must equal the SQL byte lengths — proving the
+    binary column round-trips the mapInPandas boundary losslessly."""
+    from cuckoofilter_spark.operators.multimodal import extract_features
+
+    docs = T(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+         .when(F.col("doc_id") % 3 == 1, "audio").otherwise("video").alias("media_type"),
+        F.lit(64).alias("width"), F.lit(48).alias("height"),
+        F.lit(None).cast("int").alias("sample_rate"),
+        F.lit(None).cast("int").alias("n_frames"))
+    return extract_features(media).select("media_id", "media_type", "n_bytes")
+
+
+SQL_MEDIA_PIPELINE = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+       CAST(strlen(text) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-filtered (PPJoin-style) exact Jaccard — identical output to
     the naive self-join, radically smaller candidate set at scale."""
@@ -793,6 +829,8 @@ QUERIES = {
     "quality": q_quality,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
+    "rolling_fingerprint": q_rolling_fingerprint,
+    "media_pipeline": q_media_pipeline,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "simhash_dups": q_simhash_dups,
@@ -825,6 +863,7 @@ ORACLES = {
     "quality": SQL_QUALITY,
     "lang_id": SQL_LANG_ID,
     "fingerprint": SQL_FINGERPRINT,
+    "media_pipeline": SQL_MEDIA_PIPELINE,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "minhash_lsh": SQL_MINHASH_LSH,
     "emb_topk": SQL_EMB_TOPK,

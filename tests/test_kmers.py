@@ -102,3 +102,21 @@ def test_prefix_jaccard_equals_naive(spark, sf01_dir):
         # resolve their logically-equal subtrees to this cache
         sh.unpersist()
     assert naive == prefix and len(naive) > 0
+
+
+def test_rolling_fingerprint_invariants(spark):
+    """Order-sensitive content fingerprint: deterministic, order-aware,
+    edit-aware."""
+    from cuckoofilter_spark.operators.text import rolling_fingerprint
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b c d"), (2, "d c b a"), (3, "a b c d e")],
+        "doc_id long, text string")
+    fp = {r["doc_id"]: r["rolling_fp"] for r in rolling_fingerprint(docs).collect()}
+    assert fp[0] == fp[1]           # same content → same code
+    assert fp[0] != fp[2]           # reorder → different
+    assert fp[0] != fp[3]           # edit → different
+    # stable across partitionings (pure function of content)
+    fp2 = {r["doc_id"]: r["rolling_fp"]
+           for r in rolling_fingerprint(docs.repartition(3)).collect()}
+    assert fp == fp2
