@@ -1,0 +1,62 @@
+"""Per-key sketch aggregation: the batch GROUP BY whose aggregation value
+is a sketch — `SELECT key, approx_ndv(value)` at any key cardinality.
+
+State per key is O(2^p) bytes — reducer memory is bounded regardless of
+how many values a key has, which is the entire point at 10^12 rows (an
+exact distinct per key materializes the full value set per reducer).
+
+Skew: a hot key's values all route to one group, but the sketch update is
+a streaming linear pass at O(2^p) memory; for extreme hot keys,
+``salt_buckets`` builds partial HLLs per (key, salt) and register-max
+merges them per key — estimates identical (HLL merge is exact on
+register state), reducer input bounded by 1/salt_buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cuckoofilter_spark.sketches.hll import HyperLogLog
+
+
+def ndv_by_key(df: DataFrame, key: str, value: str, p: int = 12, seed: int = 7,
+               salt_buckets: int | None = None) -> DataFrame:
+    """(key, ndv_estimate) — one HLL per key."""
+    key_t = dict(df.dtypes)[key]
+
+    def build_blob(kdf: pd.DataFrame) -> pd.DataFrame:
+        hll = HyperLogLog(p=p, seed=seed)
+        vals = kdf[value].to_numpy(dtype=np.int64, na_value=0)
+        if len(vals):
+            hll.update(vals)
+        return pd.DataFrame({key: [kdf[key].iloc[0]], "blob": [hll.to_bytes()]})
+
+    def merge_estimate(kdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for b in kdf["blob"]:
+            h = HyperLogLog.from_bytes(bytes(b))
+            acc = h if acc is None else acc.merge(h)
+        return pd.DataFrame({key: [kdf[key].iloc[0]],
+                             "ndv_estimate": [int(acc.estimate())]})
+
+    def estimate_direct(kdf: pd.DataFrame) -> pd.DataFrame:
+        hll = HyperLogLog(p=p, seed=seed)
+        vals = kdf[value].to_numpy(dtype=np.int64, na_value=0)
+        if len(vals):
+            hll.update(vals)
+        return pd.DataFrame({key: [kdf[key].iloc[0]],
+                             "ndv_estimate": [int(hll.estimate())]})
+
+    if salt_buckets:
+        salted = df.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(value)), F.lit(salt_buckets)))
+        partial = (salted.groupBy(key, "_salt")
+                   .applyInPandas(lambda kdf: build_blob(kdf.drop(columns=["_salt"])),
+                                  schema=f"{key} {key_t}, blob binary"))
+        return partial.groupBy(key).applyInPandas(
+            merge_estimate, schema=f"{key} {key_t}, ndv_estimate long")
+    return df.groupBy(key).applyInPandas(
+        estimate_direct, schema=f"{key} {key_t}, ndv_estimate long")

@@ -225,6 +225,31 @@ FROM lineitem
 """
 
 
+def q_hll_ndv_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch GROUP BY: per-event-type distinct users via one HLL per key
+    (bounded reducer state at any key fan-in), 3σ-checked vs exact."""
+    from cuckoofilter_spark.operators.sketch_groupby import ndv_by_key
+
+    ev = T(spark, sf_dir, "events")
+    got = {r["event_type"]: r["ndv_estimate"]
+           for r in ndv_by_key(ev, "event_type", "user_id", p=14).collect()}
+    exact = {r["event_type"]: r["ndv"] for r in
+             ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("ndv")).collect()}
+    rel = 3 * 1.04 / (1 << 14) ** 0.5
+    rows = [(k, int(e), bool(k in got and abs(got[k] - e) / e <= rel))
+            for k, e in sorted(exact.items())]
+    return spark.createDataFrame(
+        rows, "event_type string, exact_ndv long, within_3sigma boolean")
+
+
+SQL_HLL_NDV_BY_KEY = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_ndv,
+       CAST(TRUE AS BOOLEAN) AS within_3sigma
+FROM events GROUP BY event_type
+"""
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS point-frequency on the top-10 suppliers by lineitem count:
     one-sided (est ≥ true) and est ≤ true + εN w.p. 1-δ."""
@@ -821,6 +846,7 @@ QUERIES = {
     "cf_delete": q_cf_delete,
     "bloom_membership": q_bloom_membership,
     "hll_ndv": q_hll_ndv,
+    "hll_ndv_by_key": q_hll_ndv_by_key,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "kll_quantiles": q_kll_quantiles,
     "tdigest_quantiles": q_tdigest_quantiles,
@@ -855,6 +881,7 @@ ORACLES = {
     "cf_delete": SQL_CF_DELETE,
     "bloom_membership": SQL_BLOOM_MEMBERSHIP,
     "hll_ndv": SQL_HLL_NDV,
+    "hll_ndv_by_key": SQL_HLL_NDV_BY_KEY,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "kll_quantiles": _SQL_QUANTILES,
     "tdigest_quantiles": _SQL_QUANTILES,

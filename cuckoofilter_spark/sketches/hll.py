@@ -76,6 +76,11 @@ class HyperLogLog:
     def rel_error(self) -> float:
         return 1.04 / np.sqrt(self.m)
 
+    def copy(self) -> "HyperLogLog":
+        h = HyperLogLog(self.p, self.seed)
+        h.registers = self.registers.copy()
+        return h
+
     def to_bytes(self) -> bytes:
         return _HDR.pack(self.p, self.seed) + zlib.compress(self.registers.tobytes(), 1)
 
@@ -85,3 +90,16 @@ class HyperLogLog:
         h = cls(p, seed)
         h.registers = np.frombuffer(zlib.decompress(data[_HDR.size:]), dtype=np.uint8).copy()
         return h
+
+
+def union_estimate(a: HyperLogLog, b: HyperLogLog) -> float:
+    """|A ∪ B| — exact on register state (max merge), non-mutating."""
+    return a.copy().merge(b).estimate()
+
+
+def intersection_estimate(a: HyperLogLog, b: HyperLogLog) -> float:
+    """|A ∩ B| by inclusion–exclusion.  NOTE: the absolute error is on the
+    scale of the UNION's error (±1.04·|A∪B|/√m), so the relative error on
+    a small intersection can be large — the documented limitation of
+    HLL set ops (cuckoo/Bloom filters can't intersect at all, SURVEY §2.7)."""
+    return max(0.0, a.estimate() + b.estimate() - union_estimate(a, b))

@@ -1,0 +1,49 @@
+"""Per-key sketch aggregation (batch sketch GROUP BY) and HLL set-operation
+estimates."""
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from cuckoofilter_spark.operators.sketch_groupby import ndv_by_key
+from cuckoofilter_spark.sketches.hll import (
+    HyperLogLog,
+    intersection_estimate,
+    union_estimate,
+)
+
+
+def test_ndv_by_key_within_bound(spark, sf01_dir):
+    ev = spark.read.parquet(f"{sf01_dir}/events.parquet")
+    got = {r["event_type"]: r["ndv_estimate"]
+           for r in ndv_by_key(ev, "event_type", "user_id", p=12).collect()}
+    exact = {r["event_type"]: r["ndv"] for r in
+             ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("ndv")).collect()}
+    rel = 3 * 1.04 / np.sqrt(1 << 12)
+    assert set(got) == set(exact)
+    for k, e in exact.items():
+        assert abs(got[k] - e) / e <= rel
+
+
+def test_salted_variant_identical_estimates(spark, sf01_dir):
+    """Register-max merge is exact: the two-level hot-key variant must
+    return the identical estimate per key."""
+    ev = spark.read.parquet(f"{sf01_dir}/events.parquet")
+    plain = {r["event_type"]: r["ndv_estimate"]
+             for r in ndv_by_key(ev, "event_type", "user_id", p=12).collect()}
+    salted = {r["event_type"]: r["ndv_estimate"]
+              for r in ndv_by_key(ev, "event_type", "user_id", p=12,
+                                  salt_buckets=8).collect()}
+    assert plain == salted
+
+
+def test_hll_set_operations():
+    a, b = HyperLogLog(p=13, seed=1), HyperLogLog(p=13, seed=1)
+    a.update(np.arange(0, 60_000))
+    b.update(np.arange(40_000, 100_000))
+    u = union_estimate(a, b)
+    i = intersection_estimate(a, b)
+    assert abs(u - 100_000) / 100_000 <= 3 * a.rel_error
+    # intersection error is on the union's scale
+    assert abs(i - 20_000) <= 3 * a.rel_error * 100_000
+    # non-mutating
+    assert abs(a.estimate() - 60_000) / 60_000 <= 3 * a.rel_error
