@@ -45,11 +45,25 @@ def _count_in(ws: Column, vocab: tuple[str, ...]) -> Column:
     return F.size(F.filter(ws, lambda x: F.array_contains(arr, x)))
 
 
+#: BPE-ish pre-tokenizer classes (GPT-2-style, simplified to a dialect
+#: identical under Java regex and RE2 so oracles can reproduce it):
+#: letter runs | digit runs | single non-alnum-non-space | space runs
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]|\s+"
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """Regex pre-tokenization (the subword-tokenizer front half): splits
+    into letter/digit/punct/space runs, the classes BPE merges operate
+    within.  JVM-side `regexp_extract_all` — no Python."""
+    return F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)
+
+
 def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document token statistics (exact, SQL-reproducible)."""
     ws = words(F.col(text_col))
     n_words = F.size(ws).cast("long")
     n_chars = F.length(F.col(text_col)).cast("long")
+    bpe = bpe_ish_tokens(F.col(text_col))
     return docs.select(
         F.col("doc_id"),
         n_words.alias("n_words"),
@@ -57,6 +71,10 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         # average word length ×10000, integer-exact: total word chars =
         # n_chars - (n_words - 1) separators
         F.floor((n_chars - n_words + 1) * 10000 / n_words).cast("long").alias("avg_word_len_x1e4"),
+        # BPE-ish pre-token count, whitespace runs excluded (what a
+        # subword tokenizer's merge stage would consume)
+        F.size(F.filter(bpe, lambda t: ~t.rlike(r"^\s+$"))).cast("long")
+        .alias("n_bpe_ish"),
     )
 
 

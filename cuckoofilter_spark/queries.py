@@ -340,12 +340,15 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.token_stats(T(spark, sf_dir, "documents"))
 
 
-SQL_TOKEN_STATS = """
+SQL_TOKEN_STATS = r"""
 SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
        CAST(length(text) AS BIGINT) AS n_chars_m,
        CAST(floor((length(text) - len(string_split(text, ' ')) + 1) * 10000
-                  / len(string_split(text, ' '))) AS BIGINT) AS avg_word_len_x1e4
+                  / len(string_split(text, ' '))) AS BIGINT) AS avg_word_len_x1e4,
+       CAST(len(list_filter(
+              regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]|\s+'),
+              x -> NOT regexp_matches(x, '^\s+$'))) AS BIGINT) AS n_bpe_ish
 FROM documents
 """
 

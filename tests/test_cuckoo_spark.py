@@ -108,3 +108,19 @@ def test_skewed_source_build_with_salting(spark, corpus):
         dtype=np.int64,
     )
     assert f1.contains(present).all() and f2.contains(present).all()
+
+
+def test_distributed_build_all_configs(spark, corpus):
+    """Every legal (entries_per_bucket, bits_per_fp) config builds and
+    answers through the distributed pipeline, not just the 4x16 default."""
+    import numpy as np
+
+    from cuckoofilter_spark.operators.build import build_filter
+    from cuckoofilter_spark.params import LEGAL_CONFIGS, CuckooParams
+
+    probes = np.arange(0, 2000, dtype=np.int64)
+    for (epb, bits) in sorted(LEGAL_CONFIGS):
+        params = CuckooParams(max_table_size=1 << 16,
+                              entries_per_bucket=epb, bits_per_fp=bits)
+        filt = build_filter(corpus, "tokens", params, num_partitions=4)
+        assert filt.contains(probes).all(), (epb, bits)  # Zipf head present
