@@ -180,6 +180,44 @@ FROM orders
 # companion sketches (SURVEY §2.7 / north_rule: Bloom, HLL, CMS, KLL, t-digest)
 # ---------------------------------------------------------------------------
 
+def q_dcf_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DCF growth + compaction parity (Demo/dcf_demo.cpp:51-152): insert
+    ~3.4× a single table's capacity, chain grows; compact() merges
+    sparse→full; membership intact throughout — the reference's own
+    before/after accounting as boolean gates."""
+    import numpy as np
+
+    from cuckoofilter_spark.core.dynamic_filter import DynamicCuckooFilter
+
+    n = 100_000
+    params = CuckooParams(max_table_size=10_000, bits_per_fp=16)  # → 8192 buckets
+    filt = DynamicCuckooFilter(params, dedup=False)
+    keys = np.arange(n, dtype=np.int64)
+    filt.insert(keys)
+    chain_before = filt.cf_count
+    present_before = bool(filt.contains(keys).all())
+    filt.compact()
+    chain_after = filt.cf_count
+    present_after = bool(filt.contains(keys).all())
+    return _bool_row(
+        spark,
+        n_inserted=n,
+        grew_chain=(chain_before > 1),
+        compact_not_growing=(chain_after <= chain_before),
+        all_present_before=present_before,
+        all_present_after=present_after,
+    )
+
+
+SQL_DCF_COMPACTION = """
+SELECT CAST(TRUE AS BOOLEAN) AS all_present_after,
+       CAST(TRUE AS BOOLEAN) AS all_present_before,
+       CAST(TRUE AS BOOLEAN) AS compact_not_growing,
+       CAST(TRUE AS BOOLEAN) AS grew_chain,
+       CAST(100000 AS BIGINT) AS n_inserted
+"""
+
+
 def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = T(spark, sf_dir, "orders").select("o_custkey")
     ndv = _ndv(cust, "o_custkey")
@@ -847,6 +885,7 @@ QUERIES = {
     "cf_member_parts": q_cf_member_parts,
     "cf_build_fpr": q_cf_build_fpr,
     "cf_delete": q_cf_delete,
+    "dcf_compaction": q_dcf_compaction,
     "bloom_membership": q_bloom_membership,
     "hll_ndv": q_hll_ndv,
     "hll_ndv_by_key": q_hll_ndv_by_key,
@@ -882,6 +921,7 @@ ORACLES = {
     "cf_member_parts": SQL_CF_MEMBER_PARTS,
     "cf_build_fpr": SQL_CF_BUILD_FPR,
     "cf_delete": SQL_CF_DELETE,
+    "dcf_compaction": SQL_DCF_COMPACTION,
     "bloom_membership": SQL_BLOOM_MEMBERSHIP,
     "hll_ndv": SQL_HLL_NDV,
     "hll_ndv_by_key": SQL_HLL_NDV_BY_KEY,
