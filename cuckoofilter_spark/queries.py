@@ -718,7 +718,9 @@ def q_streaming_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_key = streaming_distinct_by_key(
         stream.select("event_type", "user_id"),
         key_col="event_type", value_col="user_id", p=14)
-    name = "q_streaming_ndv_sink"
+    import uuid
+
+    name = f"q_streaming_ndv_{uuid.uuid4().hex[:8]}"  # re-runnable in-session
     with tempfile.TemporaryDirectory() as ck:
         q = (per_key.writeStream.format("memory").queryName(name)
              .option("checkpointLocation", ck)
