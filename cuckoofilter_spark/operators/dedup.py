@@ -97,7 +97,12 @@ def jaccard_pairs_prefix(sh: DataFrame, tau_x1e4: int) -> DataFrame:
     exactly verified on the full shingle sets."""
     tau = tau_x1e4 / 10000.0
     from pyspark.sql import Window
+    from pyspark import StorageLevel
 
+    # the shingle relation feeds five consumers (df-rank, prefixes, both
+    # verify sides, sizes) — materialize it once instead of re-exploding
+    # the corpus per consumer (no-op if the caller already persisted)
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     gdf = sh.groupBy("gram").agg(F.count("*").alias("gram_df"))
     ranked = (
