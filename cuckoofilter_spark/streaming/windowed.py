@@ -26,8 +26,13 @@ import pandas as pd
 def windowed_distinct(stream_df, ts_col: str, value_col: str,
                       window: str = "10 minutes",
                       watermark: str = "5 minutes",
+                      slide: str | None = None,
                       p: int = 12, seed: int = 7):
-    """(window_start, window_end, ndv_estimate, final) per trigger."""
+    """(window_start, window_end, ndv_estimate, final) per trigger.
+
+    ``slide``: sliding windows (e.g. 10-minute windows every 5 minutes) —
+    each event updates every window containing it (Spark's window explode),
+    one HLL state per overlapping window; omitted → tumbling."""
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import (
@@ -86,7 +91,7 @@ def windowed_distinct(stream_df, ts_col: str, value_col: str,
         stream_df.withWatermark(ts_col, watermark)
         # materialize the window as a plain column: applyInPandasWithState
         # resolves grouping by name, not by expression
-        .withColumn("win", F.window(ts_col, window))
+        .withColumn("win", F.window(ts_col, window, slide or window))
         # keep exactly one event-time column (the window struct carries the
         # watermark); leaving ts in as well trips "more than one event time
         # column" in the state operator

@@ -133,3 +133,38 @@ def test_windowed_distinct_with_watermark(spark, tmp_path):
     rel = 3 * 1.04 / np.sqrt(1 << 12)
     for w, e in exact.items():
         assert abs(got[w] - e) / e <= rel, (w, got[w], e)
+
+
+def test_sliding_windowed_distinct(spark, tmp_path):
+    """10-minute windows sliding every 5: overlapping windows each hold
+    their own sketch state; estimates match exact per window."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from cuckoofilter_spark.streaming.windowed import windowed_distinct
+
+    src = str(tmp_path / "ev")
+    (spark.range(4000)
+     .select(F.timestamp_seconds(1_700_000_000 + (F.col("id") * 3)).alias("ts"),
+             (F.col("id") % 701).alias("uid"))
+     .repartition(3).write.parquet(src))
+    batch = spark.read.parquet(src)
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = windowed_distinct(stream, "ts", "uid", window="10 minutes",
+                            slide="5 minutes", watermark="6 hours", p=12)
+    q = (out.writeStream.format("memory").queryName("slide_ndv")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = {r["window_start"]: r["ndv_estimate"]
+           for r in spark.sql("SELECT * FROM slide_ndv").collect()}
+    exact = {r["w"]["start"]: r["ndv"] for r in
+             (batch.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+              .agg(F.countDistinct("uid").alias("ndv")).collect())}
+    assert set(got) == set(exact)
+    assert len(exact) > 3  # overlapping windows actually produced
+    rel = 3 * 1.04 / np.sqrt(1 << 12)
+    for w, e in exact.items():
+        assert abs(got[w] - e) / e <= rel, (w, got[w], e)
