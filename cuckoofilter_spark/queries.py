@@ -806,6 +806,27 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation — all 2² grouping sets of (status, priority)."""
+    o = T(spark, sf_dir, "orders").withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100).cast("long"))
+    return (o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum("cents").cast("long").alias("total_cents"))
+            .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                    F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+                    "n", "total_cents"))
+
+
+SQL_ORDERS_CUBE = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 def q_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking window: top-3 parts by retail price within each brand,
     deterministic tie-break on partkey.  Exact."""
@@ -913,6 +934,7 @@ QUERIES = {
     "streaming_ndv": q_streaming_ndv,
     "events_sessionize": q_events_sessionize,
     "orders_rollup": q_orders_rollup,
+    "orders_cube": q_orders_cube,
     "top_parts_per_brand": q_top_parts_per_brand,
     "word_membership": q_word_membership,
     "clean_corpus": q_clean_corpus,
@@ -946,6 +968,7 @@ ORACLES = {
     "streaming_ndv": SQL_STREAMING_NDV,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "orders_rollup": SQL_ORDERS_ROLLUP,
+    "orders_cube": SQL_ORDERS_CUBE,
     "top_parts_per_brand": SQL_TOP_PARTS_PER_BRAND,
     "word_membership": SQL_WORD_MEMBERSHIP,
     "clean_corpus": SQL_CLEAN_CORPUS,
