@@ -12,6 +12,8 @@ deserialize lazily and cache per worker process (see operators/membership).
 
 from __future__ import annotations
 
+import hashlib
+
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
@@ -29,11 +31,13 @@ def register_filter(spark: SparkSession, filt, name: str = "cf_contains"):
     return udf
 
 
-_SKETCH_CACHE: dict[int, object] = {}
+# full-blob digest key: a prefix-hash key aliases two same-param sketches
+# whose headers match but whose payloads diverge (see operators/membership)
+_SKETCH_CACHE: dict[bytes, object] = {}
 
 
 def _get_sketch(blob: bytes):
-    key = hash(blob[:64]) ^ len(blob)
+    key = hashlib.md5(blob).digest()
     s = _SKETCH_CACHE.get(key)
     if s is None:
         s = deserialize_sketch(blob)

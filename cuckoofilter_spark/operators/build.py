@@ -189,7 +189,9 @@ def build_filter_from_parquet(spark, path: str, col: str, params: CuckooParams,
 
     files = sorted(_list_parquet_files(path))
     if not files:
-        return DynamicCuckooFilter(params, dedup=dedup)
+        # an empty filter answers "non-member" to everything — a silent
+        # wrong-path/permissions bug must not masquerade as that
+        raise ValueError(f"no parquet files found under {path!r}")
     ptuple = params.to_tuple()
     # one task per file WITHOUT a shuffle stage: a range source already has
     # exactly n partitions, and the (small) file list rides a broadcast —
@@ -199,6 +201,7 @@ def build_filter_from_parquet(spark, path: str, col: str, params: CuckooParams,
 
     def read_build(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         import pyarrow.parquet as pq
+        from pyarrow import fs as pafs
 
         p = CuckooParams.from_tuple(ptuple)
         flist = bc_files.value
@@ -208,7 +211,11 @@ def build_filter_from_parquet(spark, path: str, col: str, params: CuckooParams,
                 filt = DynamicCuckooFilter(p, rng_seed=fid, dedup=dedup)
                 n_rows = 0
                 n_items = 0
-                pf = pq.ParquetFile(fpath)
+                if "://" in fpath:
+                    rfs, rpath = pafs.FileSystem.from_uri(fpath)
+                    pf = pq.ParquetFile(rfs.open_input_file(rpath))
+                else:
+                    pf = pq.ParquetFile(fpath)
                 # small streaming batches: ~8k docs ≈ 2M tokens ≈ 9 MB —
                 # decode scratch stays cache-resident; whole-file reads
                 # measured ~10× slower under 32-way concurrency
@@ -236,14 +243,27 @@ def build_filter_from_parquet(spark, path: str, col: str, params: CuckooParams,
 
 
 def _list_parquet_files(path: str) -> list[str]:
+    """List .parquet data files under *path* on any pyarrow filesystem
+    (local path or URI — file://, hdfs://, s3://): executors re-open the
+    returned paths with the same ``from_uri`` resolution."""
     import os
 
-    if os.path.isfile(path):
+    from pyarrow import fs as pafs
+
+    filesystem, rel = pafs.FileSystem.from_uri(path) if "://" in path else (
+        pafs.LocalFileSystem(), os.path.abspath(path))
+    info = filesystem.get_file_info(rel)
+    if info.type == pafs.FileType.File:
         return [path]
+    sel = pafs.FileSelector(rel, recursive=True, allow_not_found=True)
+    prefix = path.rstrip("/")
     out = []
-    for root, _dirs, names in os.walk(path):
-        out.extend(os.path.join(root, n) for n in names
-                   if n.endswith(".parquet") and not n.startswith("_"))
+    for f in filesystem.get_file_info(sel):
+        name = f.base_name
+        if (f.type == pafs.FileType.File and name.endswith(".parquet")
+                and not name.startswith("_")):
+            # re-root on the caller's path form so URI schemes survive
+            out.append(prefix + "/" + os.path.relpath(f.path, rel))
     return out
 
 

@@ -11,6 +11,8 @@ cost is O(executors), not O(tasks) — the pattern that survives a
 
 from __future__ import annotations
 
+import hashlib
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -18,12 +20,16 @@ from pyspark.sql.functions import pandas_udf
 
 from cuckoofilter_spark.core.serde import deserialize_filter, serialize_filter
 
-# per-worker-process cache: blob id -> deserialized filter
-_FILTER_CACHE: dict[int, object] = {}
+# per-worker-process cache: full-blob digest -> deserialized filter.
+# The digest costs one pass over the (zlib-packed, ~100s of KB) blob on a
+# cache miss/hit — microseconds vs the deserialize it saves; a truncated
+# prefix key could alias two filters sharing a header (same params, payloads
+# diverging later) and silently serve the wrong filter's answers.
+_FILTER_CACHE: dict[bytes, object] = {}
 
 
 def _get_filter(blob: bytes):
-    key = hash(blob[:64]) ^ len(blob)
+    key = hashlib.md5(blob).digest()
     f = _FILTER_CACHE.get(key)
     if f is None:
         f = deserialize_filter(blob)

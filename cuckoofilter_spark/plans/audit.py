@@ -25,8 +25,7 @@ def count_exchanges(df: DataFrame) -> int:
     exchanges excluded — those are the cheap kind)."""
     plan = explain_str(df, "simple")
     return len(re.findall(r"Exchange (?!SinglePartition)(?:hashpartitioning|"
-                          r"rangepartitioning|RoundRobinPartitioning)", plan)) + \
-        len(re.findall(r"Exchange RoundRobin", plan))
+                          r"rangepartitioning|RoundRobinPartitioning)", plan))
 
 
 def read_schema_columns(df: DataFrame) -> list[str]:

@@ -48,7 +48,7 @@ class StreamingSketchBuilder:
         self.num_partitions = num_partitions
         self.state_dir = state_dir
         os.makedirs(state_dir, exist_ok=True)
-        self.sketch = self._load()
+        self.sketch, self.last_batch_id = self._load()
 
     @property
     def _blob_path(self) -> str:
@@ -57,24 +57,35 @@ class StreamingSketchBuilder:
     def _load(self):
         if os.path.exists(self._blob_path):
             with open(self._blob_path, "rb") as f:
-                return deserialize_sketch(f.read())
-        return None
+                raw = f.read()
+            # 8-byte little-endian last-committed batch id, then the blob —
+            # one file so id+sketch commit atomically (single os.replace)
+            bid = int.from_bytes(raw[:8], "little", signed=True)
+            return deserialize_sketch(raw[8:]), bid
+        return None, -1
 
-    def _persist(self) -> None:
+    def _persist(self, batch_id: int) -> None:
         tmp = self._blob_path + ".tmp"
         with open(tmp, "wb") as f:
+            f.write(int(batch_id).to_bytes(8, "little", signed=True))
             f.write(serialize_sketch(self.sketch))
         os.replace(tmp, self._blob_path)
+        self.last_batch_id = batch_id
 
     def process_batch(self, batch_df, batch_id: int) -> None:
         from cuckoofilter_spark.operators.sketch_build import build_sketch
 
+        # foreachBatch is at-least-once: after a crash between our persist
+        # and Spark's own batch commit, the batch replays — merging it again
+        # would double-count for non-idempotent sketches (CMS/KLL/t-digest).
+        if batch_id <= self.last_batch_id:
+            return
         part = build_sketch(batch_df, self.col, self.factory,
                             num_partitions=self.num_partitions, values=self.values)
         if part is None:
             return
         self.sketch = part if self.sketch is None else self.sketch.merge(part)
-        self._persist()
+        self._persist(batch_id)
 
     def attach(self, stream_df):
         """Return a DataStreamWriter wired to this builder's foreachBatch."""

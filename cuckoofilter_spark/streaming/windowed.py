@@ -54,6 +54,20 @@ def windowed_distinct(stream_df, ts_col: str, value_col: str,
     ])
     state_schema = StructType([StructField("blob", BinaryType())])
 
+    # Spark hands the state operator tz-NAIVE timestamps rendered in the
+    # session timezone, while getCurrentWatermarkMs() is true epoch millis;
+    # naive Timestamp.timestamp() would read them as UTC and skew the
+    # watermark comparison by the tz offset.  Capture the session tz at plan
+    # time and localize before converting to epoch.
+    session_tz = stream_df.sparkSession.conf.get(
+        "spark.sql.session.timeZone", "UTC") or "UTC"
+
+    def _epoch_ms(ts) -> int:
+        t = pd.Timestamp(ts)
+        if t.tzinfo is None:
+            t = t.tz_localize(session_tz)
+        return int(t.timestamp() * 1000)
+
     def fn(key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         w = key[0]  # the window struct arrives as a dict (or Row)
         start, end = (w["start"], w["end"]) if isinstance(w, dict) else (w[0], w[1])
@@ -70,7 +84,7 @@ def windowed_distinct(stream_df, ts_col: str, value_col: str,
             vals = pdf[value_col].to_numpy(dtype=np.int64, na_value=0)
             if len(vals):
                 hll.update(vals)
-        end_ms = int(end.timestamp() * 1000)
+        end_ms = _epoch_ms(end)
         wm_ms = state.getCurrentWatermarkMs()
         if wm_ms >= end_ms:
             # watermark already past the window (bursty/out-of-order files):
