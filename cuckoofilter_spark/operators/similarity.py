@@ -83,62 +83,127 @@ def neardup_pairs(corpus: DataFrame, tau_x1e4: int = 9000,
     )
 
 
+def pack_blocks(corpus: DataFrame, n_blocks: int, vec_col: str = "embedding",
+                id_col: str = "vec_id", seed: int = 7) -> DataFrame:
+    """Pack the corpus into `n_blocks` dense row-normalized float64 blocks:
+    one row per block, (blk, n, d, ids binary, mat binary), ids ascending.
+    Block membership is ``pmod(xxhash64(id), n_blocks)`` — deterministic and
+    uniform regardless of the raw id distribution, so block sizes are
+    balanced (~n/n_blocks) even under skewed/clustered id spaces.  The
+    packed table is what distributed GEMM operators join on: the corpus
+    vectors shuffle ONCE (into blocks) and thereafter only block blobs
+    move."""
+    import pandas as pd
+
+    def pack(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in pdf[vec_col].iloc[order]])
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        mat /= nrm
+        return pd.DataFrame({
+            "blk": [int(key[0])], "n": [len(ids)], "d": [mat.shape[1]],
+            "ids": [ids.tobytes()], "mat": [mat.tobytes()],
+        })
+
+    return (
+        corpus.select(
+            F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col),
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)),
+                   F.lit(n_blocks)).alias("blk"))
+        .groupBy("blk")
+        .applyInPandas(pack, schema="blk long, n long, d long, ids binary, mat binary")
+    )
+
+
 def neardup_pairs_blas(corpus: DataFrame, tau_x1e4: int = 9000,
                        vec_col: str = "embedding", id_col: str = "vec_id",
                        block: int = 1024) -> DataFrame:
-    """All-pairs cosine ≥ τ via blocked float64 GEMM: the corpus matrix is
-    broadcast once (n×d — use the LSH path beyond ~1M×64), and each task
-    multiplies its row-block against the whole matrix with one BLAS call.
-    ~100× the throughput of per-pair expression evaluation (2.4 GFLOP of
-    dot products is milliseconds in GEMM, minutes in interpreted
-    higher-order SQL functions).  Output identical to `neardup_pairs`:
-    (v1, v2, cos_x1e4) with v1 < v2."""
+    """All-pairs cosine ≥ τ via DISTRIBUTED blocked float64 GEMM — exact,
+    and the corpus never touches the driver (no collect anywhere in the
+    plan; gated by tests/test_similarity_scale.py).
+
+    Plan: pack the corpus into ~n/`block` dense blocks (`pack_blocks`, one
+    shuffle of the vectors), then self-join the tiny packed table on
+    ``blk_a <= blk_b`` (broadcast nested-loop over block METADATA — rows of
+    ~0.5 MB blobs, never vectors row-wise) and GEMM each block pair in one
+    BLAS call inside mapInPandas.  Each unordered vector pair lands in
+    exactly one (blk_a, blk_b) task: cross-block pairs in the single
+    ordered block pair, same-block pairs via the in-block upper triangle
+    (ids sorted ascending), so output is identical to `neardup_pairs`:
+    (v1, v2, cos_x1e4) with v1 < v2, no dedup stage needed.
+
+    Scale: work is O(n²/2) dot products — inherent to EXACT all-pairs —
+    spread over n_blocks²/2 independent tasks; memory per task is two
+    blocks (2·block·d·8 bytes).  Beyond ~1M vectors the quadratic task
+    count itself is the wall: use `lsh_neardup_pairs` (bucketed candidates
+    + exact rescore) as the approximate scale path."""
     import pandas as pd
     from collections.abc import Iterator
 
-    spark = corpus.sparkSession
-    rows = corpus.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    order = np.argsort(ids)
-    ids = ids[order]
-    mat = np.array([rows[i][1] for i in order], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, mat))
-    n = len(ids)
-    n_blocks = -(-n // block)
+    n = corpus.count()  # scalar aggregate — not a row collect
+    n_blocks = max(1, -(-n // block))
+    packed = pack_blocks(corpus, n_blocks, vec_col, id_col)
+    a = packed.select(F.col("blk").alias("ba"), F.col("n").alias("na"),
+                      F.col("d").alias("da"), F.col("ids").alias("ia"),
+                      F.col("mat").alias("ma"))
+    b = packed.select(F.col("blk").alias("bb"), F.col("n").alias("nb"),
+                      F.col("d").alias("db"), F.col("ids").alias("ib"),
+                      F.col("mat").alias("mb"))
+    joined = a.join(F.broadcast(b), F.col("ba") <= F.col("bb")) \
+        .repartition("ba", "bb")
     tau = tau_x1e4
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids_, mat_ = bc.value
+    def gemm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for b in pdf["b"]:
-                lo, hi = b * block, min((b + 1) * block, len(ids_))
-                sims = mat_[lo:hi] @ mat_.T  # (block, n)
-                scaled = np.floor(sims * 10000)
-                bi, bj = np.nonzero(scaled >= tau)
-                gi = bi + lo
-                keep = gi < bj  # upper triangle, v1 < v2 by sorted ids
-                if not keep.any():
-                    continue
-                yield pd.DataFrame({
-                    "v1": ids_[gi[keep]], "v2": ids_[bj[keep]],
-                    "cos_x1e4": scaled[bi[keep], bj[keep]].astype(np.int64),
-                })
+            for row in pdf.itertuples(index=False):
+                ia = np.frombuffer(row.ia, dtype=np.int64)
+                A = np.frombuffer(row.ma, dtype=np.float64).reshape(row.na, row.da)
+                if row.ba == row.bb:
+                    scaled = np.floor((A @ A.T) * 10000)
+                    i, j = np.nonzero(scaled >= tau)
+                    keep = i < j  # ids ascending → index order = id order
+                    v1, v2 = ia[i[keep]], ia[j[keep]]
+                    cs = scaled[i[keep], j[keep]]
+                else:
+                    ib = np.frombuffer(row.ib, dtype=np.int64)
+                    B = np.frombuffer(row.mb, dtype=np.float64).reshape(row.nb, row.db)
+                    scaled = np.floor((A @ B.T) * 10000)
+                    i, j = np.nonzero(scaled >= tau)
+                    xa, xb = ia[i], ib[j]
+                    v1, v2 = np.minimum(xa, xb), np.maximum(xa, xb)
+                    cs = scaled[i, j]
+                if len(v1):
+                    yield pd.DataFrame({"v1": v1, "v2": v2,
+                                        "cos_x1e4": cs.astype(np.int64)})
 
-    blocks_df = spark.createDataFrame([(b,) for b in range(n_blocks)], "b long") \
-        .repartition(min(n_blocks, spark.sparkContext.defaultParallelism))
-    return blocks_df.mapInPandas(fn, schema="v1 long, v2 long, cos_x1e4 long")
+    return joined.mapInPandas(gemm, schema="v1 long, v2 long, cos_x1e4 long")
 
 
 def kmeans_centroids(corpus: DataFrame, n_clusters: int = 64, seed: int = 42,
                      sample: int = 10_000, iters: int = 10,
-                     vec_col: str = "embedding") -> "np.ndarray":
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> "np.ndarray":
     """Driver-side Lloyd's k-means on a deterministic sample — the IVF
     coarse quantizer.  The sample is tiny relative to the corpus (the
     centroids are what get broadcast); at 10^12 scale this is the standard
-    train-on-sample / assign-distributed split."""
-    rows = (corpus.select(vec_col).orderBy(F.rand(seed)).limit(sample).collect())
-    x = np.array([r[0] for r in rows], dtype=np.float64)
+    train-on-sample / assign-distributed split.
+
+    Sampling is a narrow hash-threshold filter (`xxhash64(id) % m == 0`) —
+    one pruned scan, NO global sort (an `orderBy(rand())` would range-
+    shuffle the whole corpus to take 10k rows), and the sampled id set is a
+    pure function of the ids: identical at any cluster size or partitioning
+    (north_rule resume/invariance)."""
+    n = corpus.count()
+    m = max(1, n // sample)
+    rows = (corpus
+            .filter(F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(m)) == 0)
+            .select(id_col, vec_col).collect())
+    rows = [r[1] for r in sorted(rows, key=lambda r: r[0])][:2 * sample]
+    x = np.array(rows, dtype=np.float64)
     x /= np.linalg.norm(x, axis=1, keepdims=True)
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]

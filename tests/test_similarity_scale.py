@@ -43,6 +43,45 @@ def test_ivf_scores_match_exact_on_hits(spark, emb):
             assert e[key] == r["cos_x1e4"]
 
 
+def test_blas_neardup_matches_bruteforce(spark, emb):
+    """Distributed blocked GEMM = the naive expression-based all-pairs,
+    pair for pair and score for score."""
+    from cuckoofilter_spark.operators.similarity import neardup_pairs
+
+    small = emb.filter(F.col("vec_id") < 400)
+    brute = {(r["v1"], r["v2"]): r["cos_x1e4"]
+             for r in neardup_pairs(small, tau_x1e4=4000).collect()}
+    blas = {(r["v1"], r["v2"]): r["cos_x1e4"]
+            for r in neardup_pairs_blas(small, tau_x1e4=4000, block=128).collect()}
+    assert blas == brute and len(brute) > 0
+
+
+def test_blas_neardup_no_driver_collect(spark, emb, monkeypatch):
+    """The scale gate from VERDICT r1: the corpus must never be collected
+    to the driver — plan construction AND execution run with
+    DataFrame.collect forbidden (toPandas-based result fetch only)."""
+    from pyspark.sql import DataFrame
+
+    def boom(self):
+        raise AssertionError("driver-side collect in neardup_pairs_blas")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    out = neardup_pairs_blas(emb.filter(F.col("vec_id") < 300),
+                             tau_x1e4=4000, block=64)
+    n = out.count()  # executes the whole plan
+    assert n > 0
+
+
+def test_kmeans_sampling_partitioning_invariant(spark, emb):
+    """Hash-threshold sampling → identical centroids whatever the input
+    partitioning (the north_rule N-vs-4N invariance), and no global sort."""
+    import numpy as np
+
+    c1 = kmeans_centroids(emb, n_clusters=8, seed=42, sample=300)
+    c2 = kmeans_centroids(emb.repartition(17), n_clusters=8, seed=42, sample=300)
+    assert np.array_equal(c1, c2)
+
+
 def test_lsh_neardup_recall_vs_exact(spark, emb):
     exact = {(r["v1"], r["v2"]) for r in
              neardup_pairs_blas(emb, tau_x1e4=4000).collect()}
