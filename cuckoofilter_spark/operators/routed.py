@@ -129,6 +129,47 @@ class RoutedCuckooFilter:
         """Rows of *probes* that are possibly-members (no false drops)."""
         return self.contains(probes, col).filter(F.col("member")).select(col)
 
+    # -- delete ------------------------------------------------------------
+    def delete(self, keys: DataFrame, col: str) -> "RoutedCuckooFilter":
+        """Distributed delete (``deleteElement``,
+        ``DCF/dynamic_cuckoo_filter.h:393-416`` lifted to the routed
+        surface): the delete keys shuffle by route — never to the driver —
+        and meet their sub-filter via cogroup; each touched route's blob is
+        rewritten in place.  Routes with no delete keys pass their state
+        through unchanged.  Returns a NEW handle (the state DataFrame is
+        immutable lineage — at production scale, a new snapshot of the
+        state table).
+
+        Deletion semantics follow the underlying filter: multiset
+        (``dedup=False``) removes one stored copy per delete; set mode
+        removes membership.  The number of successful deletes is observable
+        as the drop in ``stats()['n_keys']``."""
+        ptuple = self.params.to_tuple()
+
+        def delete_route(key: tuple, del_pdf: pd.DataFrame,
+                         state_pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(state_pdf) == 0:
+                # keys routed to a route that never had state: no-op
+                return pd.DataFrame({"route": pd.Series([], dtype="int64"),
+                                     "blob": pd.Series([], dtype=object),
+                                     "n_keys": pd.Series([], dtype="int64")})
+            filt = deserialize_filter(bytes(state_pdf["blob"].iloc[0]))
+            if len(del_pdf):
+                ks = del_pdf[col].to_numpy(dtype=np.int64, na_value=0)
+                filt.delete(ks)
+            return pd.DataFrame({"route": [int(key[0])],
+                                 "blob": [serialize_filter(filt)],
+                                 "n_keys": [filt.element_count]})
+
+        k = keys.select(F.col(col).cast("long").alias(col),
+                        _route_col(col, self.n_routes))
+        state = (
+            k.groupBy("route")
+            .cogroup(self.state.groupBy("route"))
+            .applyInPandas(delete_route, schema=STATE_SCHEMA)
+        )
+        return RoutedCuckooFilter(state, self.params, self.n_routes, self.dedup)
+
     # -- merge -------------------------------------------------------------
     def merge(self, other: "RoutedCuckooFilter") -> "RoutedCuckooFilter":
         """Union two routed filters (same routing config): per-route blob

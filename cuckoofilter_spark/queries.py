@@ -134,34 +134,66 @@ FROM lineitem
 
 
 def q_cf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Delete support (CF/cuckoo_filter.h:239-271, Demo delete phase):
-    delete every even orderkey; all odd keys still present (no false
-    negatives survive deletion); deleted keys answer positive only at
-    ≤ ε FP rate (shared-fingerprint caveat, SURVEY §2.1 #7).
+    """Delete support (CF/cuckoo_filter.h:239-271, Demo delete phase) on
+    the DISTRIBUTED surface: build a routed filter over every orderkey,
+    delete every even key via the routed cogroup delete (keys shuffle by
+    route, never to the driver), then probe odds/evens with the routed
+    contains — every count is a Spark aggregate; only scalars reach the
+    driver.
 
     Built with multiset semantics (``dedup=False``) — the reference's
     insert-a-copy-per-occurrence behavior is what makes "delete exactly
     what you inserted" safe: two keys colliding on (bucket-pair, fp) hold
     two copies, so deleting one never erases the other's membership."""
-    orders = T(spark, sf_dir, "orders").select("o_orderkey")
-    params = _params_for(_ndv(orders, "o_orderkey"))
-    filt = build_filter(orders, "o_orderkey", params, num_partitions=8, dedup=False)
+    from cuckoofilter_spark.operators.routed import RoutedCuckooFilter
 
-    keys = np.array(sorted(r[0] for r in orders.distinct().collect()), dtype=np.int64)
-    evens, odds = keys[keys % 2 == 0], keys[keys % 2 == 1]
-    deleted_ok = filt.delete(evens)
-    odds_present = int(filt.contains(odds).sum())
-    deleted_still = int(filt.contains(evens).sum())
+    orders = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"))
+    n_routes = 16
+    even = F.col("o_orderkey") % 2 == 0
+    # one scan: exact distinct counts for sizing + the even/odd split
+    pre = orders.agg(
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.countDistinct(F.when(even, F.col("o_orderkey"))).alias("n_evens"),
+    ).collect()[0]
+    n_keys, n_evens = int(pre["n_keys"]), int(pre["n_evens"])
+    n_odds = n_keys - n_evens
+    params = CuckooParams(max_table_size=max(1024, 2 * n_keys // n_routes),
+                          bits_per_fp=16)
+    routed = RoutedCuckooFilter.build(orders, "o_orderkey", params,
+                                      n_routes=n_routes, dedup=False)
+    routed.state = routed.state.persist()
+    try:
+        n_before = routed.stats()["n_keys"]
+        after = routed.delete(orders.filter(even), "o_orderkey")
+        after.state = after.state.persist()
+        try:
+            n_deleted = n_before - after.stats()["n_keys"]
+            # one probe pass for both phases: odd keys must all survive,
+            # deleted evens answer positive only at FP-noise rate
+            res = after.contains(orders, "o_orderkey")
+            hit = res.agg(
+                F.sum(F.when(~even & F.col("member"), 1).otherwise(0))
+                .alias("odds_present"),
+                F.sum(F.when(even & F.col("member"), 1).otherwise(0))
+                .alias("deleted_still"),
+            ).collect()[0]
+            odds_present = int(hit["odds_present"])
+            deleted_still = int(hit["deleted_still"])
+        finally:
+            after.state.unpersist()
+    finally:
+        routed.state.unpersist()
     return _bool_row(
         spark,
-        n_keys=len(keys), n_deleted=int(deleted_ok.sum()),
-        all_deletes_succeeded=(int(deleted_ok.sum()) == len(evens)),
-        odds_all_present=(odds_present == len(odds)),
+        n_keys=n_keys, n_deleted=n_deleted,
+        all_deletes_succeeded=(n_deleted == n_evens),
+        odds_all_present=(odds_present == n_odds),
         # ε over a 7.5k-probe sample allows <1 expected hit; permit the
         # Poisson small-sample tail (≤ max(3, 3εn)) so one genuine
         # fingerprint collision doesn't read as a semantics failure
         deleted_hits_within_bound=(
-            deleted_still <= max(3, int(3 * params.fpr_bound * len(evens)))
+            deleted_still <= max(3, int(3 * params.fpr_bound * n_evens))
         ),
     )
 
@@ -219,20 +251,28 @@ SELECT CAST(TRUE AS BOOLEAN) AS all_present_after,
 
 
 def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom insert/contains/FPR phases probed IN SPARK: the sketch rides a
+    broadcast into a vectorized membership UDF (the SQL surface,
+    functions/registry.py); member/negative counts are Spark aggregates —
+    the distinct key set never reaches the driver."""
+    from cuckoofilter_spark.functions.registry import register_sketch
+
     cust = T(spark, sf_dir, "orders").select("o_custkey")
     ndv = _ndv(cust, "o_custkey")
     fpp = 1e-4
     bloom = build_sketch(cust, "o_custkey",
                          lambda pid: BloomFilter.for_capacity(max(ndv, 64), fpp=fpp, seed=11),
                          num_partitions=8)
-    members = np.array(sorted(r[0] for r in cust.distinct().collect()), dtype=np.int64)
-    n_found = int(bloom.contains(members).sum())
-    negs = np.arange(NEG_LO, NEG_LO + NEG_N, dtype=np.int64)
-    n_fp = int(bloom.contains(negs).sum())
+    member_udf = register_sketch(spark, bloom, "q_bloom_member")
+    members = cust.distinct()
+    n_keys = members.count()
+    n_found = members.filter(member_udf(F.col("o_custkey"))).count()
+    negs = spark.range(NEG_LO, NEG_LO + NEG_N)
+    n_fp = negs.filter(member_udf(F.col("id"))).count()
     return _bool_row(
         spark,
-        n_keys=len(members), n_found=n_found,
-        zero_false_negatives=(n_found == len(members)),
+        n_keys=n_keys, n_found=n_found,
+        zero_false_negatives=(n_found == n_keys),
         fpp_within_bound=(n_fp / NEG_N <= 3 * fpp),
     )
 

@@ -69,3 +69,45 @@ def test_state_stays_small_relative_to_keys(routed):
     # ~2 bytes/key fingerprints + headers, zlib-packed; must be far below
     # raw key storage (8 B/key) — the point of a filter
     assert st["state_bytes"] < N_KEYS * 4
+
+
+def test_routed_delete(spark):
+    """Distributed delete parity (DCF/dynamic_cuckoo_filter.h:393-416 on
+    the routed surface): delete evens, odds stay, evens drop to FP noise,
+    element counts fall by exactly the number of deleted copies."""
+    n = 50_000
+    params = CuckooParams(max_table_size=2 * n // N_ROUTES, bits_per_fp=16)
+    keys = spark.range(0, n).select(F.col("id").alias("k")).repartition(8)
+    routed = RoutedCuckooFilter.build(keys, "k", params, n_routes=N_ROUTES,
+                                      dedup=False)
+    routed.state = routed.state.persist()
+    evens = keys.filter(F.col("k") % 2 == 0)
+    odds = keys.filter(F.col("k") % 2 == 1)
+    n_before = routed.stats()["n_keys"]
+
+    after = routed.delete(evens, "k")
+    after.state = after.state.persist()
+    n_after = after.stats()["n_keys"]
+    assert n_before - n_after == n // 2  # every delete found its copy
+
+    assert after.contains(odds, "k").filter(~F.col("member")).count() == 0
+    still = after.contains(evens, "k").filter(F.col("member")).count()
+    assert still <= max(3, int(3 * params.fpr_bound * (n // 2)))
+    # untouched routes' state must survive a delete whose keys miss them:
+    assert after.state.count() == routed.state.count()
+    routed.state.unpersist()
+    after.state.unpersist()
+
+
+def test_routed_delete_on_set_semantics_removes_membership(spark):
+    keys = spark.range(0, 20_000).select(F.col("id").alias("k"))
+    params = CuckooParams(max_table_size=4096, bits_per_fp=16)
+    routed = RoutedCuckooFilter.build(keys, "k", params, n_routes=8, dedup=True)
+    sub = keys.filter(F.col("k") < 1000)
+    after = routed.delete(sub, "k")
+    after.state = after.state.persist()
+    hits = after.contains(sub, "k").filter(F.col("member")).count()
+    assert hits <= max(3, int(3 * params.fpr_bound * 1000))
+    rest = keys.filter(F.col("k") >= 1000)
+    assert after.contains(rest, "k").filter(~F.col("member")).count() == 0
+    after.state.unpersist()
