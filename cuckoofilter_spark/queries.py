@@ -913,6 +913,45 @@ FROM documents WHERE doc_id < 100
 """
 
 
+FASTA_PATH = "/root/reference/Data/ecoli_small.fna"
+FASTA_K = 10
+
+
+def q_fasta_kmers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FASTA end-to-end parity (Tests/cf_fasta_test.cpp:25-55 as a driver
+    query): distributed k-mer filter build over the reference's own
+    ``ecoli_small.fna``, then probe every distinct k-mer through the
+    Spark-side UDF — all are true members (zero false negatives), so the
+    surviving rows equal the exact distinct k-mer set the oracle computes
+    by slicing the same file in SQL."""
+    from cuckoofilter_spark.sources.fasta import (
+        build_fasta_filter,
+        cf_contains_kmer_udf,
+        fasta_kmers_df,
+        kmer_hashes,
+        parse_fasta,
+        _read_text,
+    )
+
+    _, seq = parse_fasta(_read_text(FASTA_PATH))
+    n = max(1, len(seq) - FASTA_K + 1)
+    params = CuckooParams(max_table_size=2 * n, bits_per_fp=16)
+    filt = build_fasta_filter(spark, [FASTA_PATH], FASTA_K, params, dedup=False)
+    contains = cf_contains_kmer_udf(spark, filt, FASTA_K)
+    kmers = fasta_kmers_df(spark, [FASTA_PATH], FASTA_K).select("kmer").distinct()
+    return kmers.filter(contains(F.col("kmer")))
+
+
+SQL_FASTA_KMERS = f"""
+WITH f AS (SELECT content FROM read_text('{FASTA_PATH}')),
+s AS (SELECT list_aggregate(list_filter(string_split(content, chr(10)),
+        x -> x <> '' AND substr(x, 1, 1) <> '>'), 'string_agg', '') AS seq FROM f)
+SELECT DISTINCT unnest(list_transform(range(1, length(seq) - {FASTA_K} + 2),
+                                      i -> substr(seq, i, {FASTA_K}))) AS kmer
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # token-table flagship (input_hint shape; rows-only — oracle cannot
 # synthesize the corpus)
@@ -978,6 +1017,7 @@ QUERIES = {
     "top_parts_per_brand": q_top_parts_per_brand,
     "word_membership": q_word_membership,
     "clean_corpus": q_clean_corpus,
+    "fasta_kmers": q_fasta_kmers,
     "tokens_cf_build": q_tokens_cf_build,
 }
 
@@ -1012,6 +1052,7 @@ ORACLES = {
     "top_parts_per_brand": SQL_TOP_PARTS_PER_BRAND,
     "word_membership": SQL_WORD_MEMBERSHIP,
     "clean_corpus": SQL_CLEAN_CORPUS,
+    "fasta_kmers": SQL_FASTA_KMERS,
     # simhash_dups, tokens_cf_build: rows-only (hash-seeded / synthesized
     # input not expressible in the oracle engine)
 }

@@ -1,0 +1,101 @@
+"""FASTA k-mer workload parity — the reference's own end-to-end test
+(``Tests/cf_fasta_test.cpp:25-71``: insert → FPR on random k-mers →
+contains-all-inserted → delete-all) run against the reference's own data
+(``Data/ecoli_small.fna``, ``Data/random/*.txt``) through the distributed
+build."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter_spark.params import CuckooParams
+from cuckoofilter_spark.sources.fasta import (
+    build_fasta_filter,
+    cf_contains_kmer_udf,
+    fasta_kmers_df,
+    hash_kmer_batch,
+    kmer_hashes,
+    kmer_strings,
+    parse_fasta,
+)
+
+FNA = "/root/reference/Data/ecoli_small.fna"
+RANDOM_10 = "/root/reference/Data/random/random_ecoli_small_kmers_10.txt"
+K = 10
+
+
+def test_parse_fasta_reference_semantics():
+    ident, seq = parse_fasta(open(FNA).read())
+    assert ident.startswith("BA000007.3")
+    # all sequence lines concatenated, no newlines, ACGT alphabet
+    assert set(seq) <= set("ACGTN") and len(seq) > 900
+
+
+def test_kmer_window_matches_reference_iterator():
+    """Our stride-1 windows = FastaReader::nextKMere order and count."""
+    _, seq = parse_fasta(open(FNA).read())
+    kmers = kmer_strings(seq, K)
+    assert len(kmers) == len(seq) - K + 1
+    assert kmers[0] == seq[:K] and kmers[-1] == seq[-K:]
+
+
+def test_hash_kernels_agree():
+    _, seq = parse_fasta(open(FNA).read())
+    kmers = kmer_strings(seq, K)
+    assert np.array_equal(kmer_hashes(seq, K), hash_kmer_batch(kmers, K))
+
+
+def test_fasta_kmers_df_enumerates_all_windows(spark):
+    df = fasta_kmers_df(spark, [FNA], K)
+    _, seq = parse_fasta(open(FNA).read())
+    assert df.count() == len(seq) - K + 1
+    head = df.orderBy("pos").limit(3).collect()
+    assert [r["kmer"] for r in head] == kmer_strings(seq, K)[:3]
+
+
+@pytest.fixture(scope="module")
+def fasta_filter(spark):
+    _, seq = parse_fasta(open(FNA).read())
+    n = len(seq) - K + 1
+    params = CuckooParams(max_table_size=2 * n, bits_per_fp=16)
+    return build_fasta_filter(spark, [FNA], K, params, dedup=False), params
+
+
+def test_insert_then_contains_all(spark, fasta_filter):
+    """Phase 2 of cf_fasta_test: every inserted k-mer answers member —
+    probed through Spark with the k-mer UDF."""
+    filt, _ = fasta_filter
+    df = fasta_kmers_df(spark, [FNA], K)
+    contains = cf_contains_kmer_udf(spark, filt, K)
+    assert df.filter(~contains(F.col("kmer"))).count() == 0
+
+
+def test_fpr_on_reference_random_kmers(spark, fasta_filter):
+    """Phase 1 of cf_fasta_test (getFPRate): probe the reference's own
+    held-out random k-mers file; FP rate within the configured bound."""
+    filt, params = fasta_filter
+    with open(RANDOM_10) as fh:
+        probes = [l.strip() for l in fh if l.strip()]
+    assert all(len(p) == K for p in probes)
+    h = hash_kmer_batch(np.array(probes), K).astype(np.int64)
+    member = filt.contains(h)
+    # genuine members are possible (random k-mers may occur in the genome);
+    # subtract them before holding the rest to the FP bound
+    _, seq = parse_fasta(open(FNA).read())
+    truth = np.array([p in seq for p in probes])
+    fp = member & ~truth
+    assert fp.sum() <= max(3, int(3 * params.fpr_bound * len(probes)))
+
+
+def test_delete_all_restores_empty(spark, fasta_filter):
+    """Phase 3 (deleteAll): deleting every inserted copy empties the
+    multiset filter."""
+    filt, _ = fasta_filter
+    import copy
+
+    f = copy.deepcopy(filt)
+    _, seq = parse_fasta(open(FNA).read())
+    h = kmer_hashes(seq, K).astype(np.int64)
+    ok = f.delete(h)
+    assert ok.all()
+    assert f.element_count == 0
