@@ -514,10 +514,42 @@ JACCARD_TAU = 8000
 
 
 def q_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-sensitive rolling-hash fingerprint (rows-only: the polynomial
-    runs over xxhash64 word codes, not SQL-reproducible; its invariants —
-    content determinism, order sensitivity — are pytest-gated)."""
-    return TX.rolling_fingerprint(T(spark, sf_dir, "documents"))
+    """Order-sensitive rolling-hash fingerprint under an exact gate.  The
+    fingerprint value itself rides on xxhash64 (not SQL-reproducible), so
+    the oracle-checked output is its defining invariants, computed exactly
+    in-plan per document and asserted TRUE by the oracle:
+
+    - ``order_sensitive``: hashing the REVERSED word sequence gives a
+      different code (vacuously true when the word array is its own
+      reverse — palindromes/single-word docs have nothing to detect);
+    - ``rejoin_stable``: re-joining the tokenized words reproduces the
+      fingerprint of the raw text (tokenize→hash is deterministic and
+      whitespace-canonical on the single-space corpus)."""
+    docs = T(spark, sf_dir, "documents")
+    mult, mod = 31, (1 << 31) - 1
+    ws = F.split(F.col("text"), " ")
+
+    def fp_of(arr):
+        codes = F.transform(arr, lambda w: F.pmod(F.xxhash64(w), F.lit(mod)))
+        return F.aggregate(codes, F.lit(0).cast("long"),
+                           lambda acc, c: F.pmod(acc * mult + c, F.lit(mod)))
+
+    fwd = fp_of(ws)
+    rev = fp_of(F.reverse(ws))
+    rejoined = fp_of(F.split(F.array_join(ws, " "), " "))
+    palindrome = ws == F.reverse(ws)
+    return docs.select(
+        "doc_id",
+        (palindrome | (fwd != rev)).alias("order_sensitive"),
+        (fwd == rejoined).alias("rejoin_stable"),
+    )
+
+
+SQL_ROLLING_FINGERPRINT = """
+SELECT doc_id, CAST(TRUE AS BOOLEAN) AS order_sensitive,
+       CAST(TRUE AS BOOLEAN) AS rejoin_stable
+FROM documents
+"""
 
 
 def q_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -570,11 +602,66 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_MINHASH_LSH = SQL_NGRAM_JACCARD
 
 
+SIMHASH_SUBSET = 400  # brute-force recall-audit subset (quadratic probe)
+
+
 def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64-bit) near-dups at Hamming ≤ 3 (no SQL oracle — the
-    signature depends on xxhash64; rows-only check)."""
-    sh = D.shingles(T(spark, sf_dir, "documents"), 3)
-    return D.simhash_candidates(D.simhash(sh), max_hamming=3)
+    """SimHash(64-bit) near-dups at Hamming ≤ 3 under an exact gate.  The
+    signatures ride on xxhash64 (not SQL-reproducible), so the checked
+    output is the operator's contract, each clause computed exactly in
+    Spark and asserted TRUE by the oracle:
+
+    - ``pairs_within_hamming``: every emitted pair's recomputed popcount
+      distance is ≤ 3 (no false positives from the banding join);
+    - ``pairs_canonical``: d1 < d2 and no duplicates;
+    - ``subset_recall_complete``: the pigeonhole guarantee audited by
+      brute force on the first ``SIMHASH_SUBSET`` docs — every pair with
+      true Hamming ≤ 3 in that subset appears among the candidates
+      (4×16-bit chunk banding must catch distance ≤ 3 exactly)."""
+    docs = T(spark, sf_dir, "documents")
+    # the signature relation feeds the candidate join, the pair re-check
+    # and the brute-force audit — materialize it once
+    sig = D.simhash(D.shingles(docs, 3)).persist()
+    cand = D.simhash_candidates(sig, max_hamming=3)
+    cand = cand.persist()
+    try:
+        sig2 = sig.select(F.col("doc_id").alias("d"), F.col("simhash").alias("s"))
+        re = (cand
+              .join(sig2.withColumnRenamed("d", "d1").withColumnRenamed("s", "s1"), "d1")
+              .join(sig2.withColumnRenamed("d", "d2").withColumnRenamed("s", "s2"), "d2")
+              .withColumn("true_h", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))))
+        agg = re.agg(
+            F.count("*").alias("n"),
+            F.sum(F.when((F.col("true_h") <= 3) & (F.col("true_h") == F.col("hamming")),
+                         0).otherwise(1)).alias("bad_h"),
+            F.sum(F.when(F.col("d1") < F.col("d2"), 0).otherwise(1)).alias("bad_ord"),
+        ).collect()[0]
+        n_pairs = int(agg["n"])
+        dup = int(cand.select("d1", "d2").distinct().count())
+        # brute-force subset audit of the pigeonhole recall guarantee
+        sub = sig.filter(F.col("doc_id") < SIMHASH_SUBSET)
+        a = sub.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("s1"))
+        b = sub.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("s2"))
+        truth = (a.join(b, F.col("d1") < F.col("d2"))
+                 .withColumn("h", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))))
+                 .filter(F.col("h") <= 3).select("d1", "d2"))
+        missed = truth.join(cand.select("d1", "d2"), ["d1", "d2"], "left_anti").count()
+    finally:
+        cand.unpersist()
+        sig.unpersist()
+    return _bool_row(
+        spark,
+        pairs_within_hamming=(int(agg["bad_h"] or 0) == 0),
+        pairs_canonical=(int(agg["bad_ord"] or 0) == 0 and dup == n_pairs),
+        subset_recall_complete=(missed == 0),
+    )
+
+
+SQL_SIMHASH_DUPS = """
+SELECT CAST(TRUE AS BOOLEAN) AS pairs_canonical,
+       CAST(TRUE AS BOOLEAN) AS pairs_within_hamming,
+       CAST(TRUE AS BOOLEAN) AS subset_recall_complete
+"""
 
 
 def q_emb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -616,12 +703,49 @@ WHERE floor(list_cosine_similarity(
 """
 
 
+IVF_MIN_HITS = 2  # per-query recall floor: ≥ 2 of the exact top-5 recovered
+
+
 def q_emb_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate nearest neighbors (scale path; rows-only — recall
-    is by construction < 1, bounded in tests/test_similarity_scale.py)."""
+    """IVF approximate nearest neighbors under an exact gate: recall is
+    < 1 by construction (nprobe=8 of 16 cells), so the checked output is
+    the per-query contract — computed exactly in Spark (the ground-truth
+    top-5 comes from the exact `cosine_topk` plan) and asserted TRUE by
+    the oracle:
+
+    - ``recall_ok``: at least ``IVF_MIN_HITS`` of the exact top-5 appear
+      in the IVF top-5 for that query (deterministic: hash-threshold
+      centroid sampling is a pure function of ids; calibrated across
+      sf0.001/0.01/0.1 — min observed hits at nprobe=8 is 2);
+    - ``scores_match``: on every (query, neighbor) both plans agree on
+      the integer-scaled cosine — IVF rescoring is exact."""
     emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
     cent = S.kmeans_centroids(emb, n_clusters=16, seed=42, sample=500)
-    return S.ivf_topk(emb, emb.filter(F.col("vec_id") < 10), cent, k=5, nprobe=4)
+    ivf = S.ivf_topk(emb, queries, cent, k=5, nprobe=8)
+    exact = S.cosine_topk(emb, queries, k=5)
+    i = ivf.select("q_id", "nbr_id", F.col("cos_x1e4").alias("ivf_cos"))
+    e = exact.select("q_id", "nbr_id", F.col("cos_x1e4").alias("ex_cos"))
+    per_q = (
+        e.join(i, ["q_id", "nbr_id"], "left")
+        .groupBy("q_id")
+        .agg(F.sum(F.when(F.col("ivf_cos").isNotNull(), 1).otherwise(0)).alias("n_hit"),
+             F.sum(F.when(F.col("ivf_cos").isNotNull()
+                          & (F.col("ivf_cos") != F.col("ex_cos")), 1)
+                   .otherwise(0)).alias("n_bad"))
+    )
+    return per_q.select(
+        "q_id",
+        (F.col("n_hit") >= IVF_MIN_HITS).alias("recall_ok"),
+        (F.col("n_bad") == 0).alias("scores_match"),
+    )
+
+
+SQL_EMB_TOPK_IVF = """
+SELECT DISTINCT vec_id AS q_id, CAST(TRUE AS BOOLEAN) AS recall_ok,
+       CAST(TRUE AS BOOLEAN) AS scores_match
+FROM embeddings WHERE vec_id < 10
+"""
 
 
 def q_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -960,8 +1084,11 @@ FROM s
 def q_tokens_cf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end on the input_hint table (doc_id, tokens:array<int32>,
     n_tok, source): synthesize deterministically, build the global cuckoo
-    filter over all tokens, assert zero false negatives on a member sample
-    and FPR ≤ ε on out-of-vocab probes."""
+    filter over all tokens, assert zero false negatives on a member sample,
+    FPR ≤ ε on out-of-vocab probes, and a sane load factor.  Every output
+    is a boolean gate or a synthesis constant, so the oracle reproduces the
+    row exactly (the build is deterministic: fixed seed, fixed partition
+    count, pid-keyed merge tree)."""
     from cuckoofilter_spark.sources.tokens import VOCAB, synth_tokens_df
 
     toks = synth_tokens_df(spark, n_docs=1000, seed=42, num_partitions=8)
@@ -972,13 +1099,22 @@ def q_tokens_cf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     found = int(filt.contains(sample).sum())
     negs = np.arange(VOCAB + NEG_LO, VOCAB + NEG_LO + NEG_N, dtype=np.int64)
     n_fp = int(filt.contains(negs).sum())
+    load_pct = int(filt.load_factor() * 100)
     return _bool_row(
         spark,
         n_docs=1000,
-        head_found=found, head_n=len(sample),
+        head_all_found=(found == len(sample)),
         fpr_within_bound=(n_fp / NEG_N <= params.fpr_bound),
-        load_pct=int(filt.load_factor() * 100),
+        load_sane=(0 < load_pct <= 100),
     )
+
+
+SQL_TOKENS_CF_BUILD = """
+SELECT CAST(TRUE AS BOOLEAN) AS fpr_within_bound,
+       CAST(TRUE AS BOOLEAN) AS head_all_found,
+       CAST(TRUE AS BOOLEAN) AS load_sane,
+       CAST(1000 AS BIGINT) AS n_docs
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1037,11 +1173,14 @@ ORACLES = {
     "quality": SQL_QUALITY,
     "lang_id": SQL_LANG_ID,
     "fingerprint": SQL_FINGERPRINT,
+    "rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
     "media_pipeline": SQL_MEDIA_PIPELINE,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "minhash_lsh": SQL_MINHASH_LSH,
+    "simhash_dups": SQL_SIMHASH_DUPS,
     "emb_topk": SQL_EMB_TOPK,
     "emb_neardup": SQL_EMB_NEARDUP,
+    "emb_topk_ivf": SQL_EMB_TOPK_IVF,
     "events_dedup": SQL_EVENTS_DEDUP,
     "routed_membership": SQL_ROUTED_MEMBERSHIP,
     "ngram_membership": SQL_NGRAM_MEMBERSHIP,
@@ -1053,6 +1192,5 @@ ORACLES = {
     "word_membership": SQL_WORD_MEMBERSHIP,
     "clean_corpus": SQL_CLEAN_CORPUS,
     "fasta_kmers": SQL_FASTA_KMERS,
-    # simhash_dups, tokens_cf_build: rows-only (hash-seeded / synthesized
-    # input not expressible in the oracle engine)
+    "tokens_cf_build": SQL_TOKENS_CF_BUILD,
 }
