@@ -51,12 +51,20 @@ _BUILD_CACHE: dict[tuple, object] = {}
 
 def _cached_filter(spark: SparkSession, sf_dir: str, table: str, col: str,
                    dedup: bool = True):
+    """Build (once per process) the filter over ``table.col`` via the
+    pyarrow-direct scan path — the parquet→InternalRow→Arrow re-encode of
+    the generic JVM path costs ~3× the kernel+IO for one-column builds
+    (NOTES_r1.md), so scalar-column builds skip the JVM entirely."""
+    from cuckoofilter_spark.operators.build import build_filter_from_parquet
+
     key = (sf_dir, table, col, dedup)
     hit = _BUILD_CACHE.get(key)
     if hit is None:
         df = T(spark, sf_dir, table).select(col)
         params = _params_for(_ndv(df, col))
-        hit = (build_filter(df, col, params, num_partitions=8, dedup=dedup), params)
+        filt = build_filter_from_parquet(
+            spark, f"{sf_dir}/{table}.parquet", col, params, dedup=dedup)
+        hit = (filt, params)
         _BUILD_CACHE[key] = hit
     return hit
 
@@ -213,31 +221,39 @@ FROM orders
 # ---------------------------------------------------------------------------
 
 def q_dcf_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DCF growth + compaction parity (Demo/dcf_demo.cpp:51-152): insert
-    ~3.4× a single table's capacity, chain grows; compact() merges
-    sparse→full; membership intact throughout — the reference's own
-    before/after accounting as boolean gates."""
-    import numpy as np
+    """DCF growth + compaction parity (Demo/dcf_demo.cpp:51-152) ON THE
+    CLUSTER: the distributed build over every distinct orderkey with a
+    deliberately under-sized table (capacity ≈ ndv/3) forces per-partition
+    chain growth and a multi-table merged chain; ``compact()`` then merges
+    sparse→full.  Membership is verified before and after by probing every
+    key IN SPARK (broadcast filter + vectorized UDF) — the reference
+    demo's before/after accounting, but produced by the mapInArrow build +
+    tree merge rather than a driver-local loop."""
+    orders = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"))
+    # exact distinct count: it is both the reported n_inserted (the oracle
+    # recomputes it) and the under-sizing basis
+    ndv = int(orders.agg(F.countDistinct("o_orderkey")).collect()[0][0])
+    params = CuckooParams(max_table_size=max(1024, ndv // 3), bits_per_fp=16)
+    filt = build_filter(orders, "o_orderkey", params, num_partitions=8,
+                        dedup=True, compact=False)
 
-    from cuckoofilter_spark.core.dynamic_filter import DynamicCuckooFilter
+    def n_missing(f) -> int:
+        contains = cf_contains_udf(spark, f)
+        return orders.filter(~contains(F.col("o_orderkey"))).count()
 
-    n = 100_000
-    params = CuckooParams(max_table_size=10_000, bits_per_fp=16)  # → 8192 buckets
-    filt = DynamicCuckooFilter(params, dedup=False)
-    keys = np.arange(n, dtype=np.int64)
-    filt.insert(keys)
     chain_before = filt.cf_count
-    present_before = bool(filt.contains(keys).all())
+    missing_before = n_missing(filt)
     filt.compact()
     chain_after = filt.cf_count
-    present_after = bool(filt.contains(keys).all())
+    missing_after = n_missing(filt)
     return _bool_row(
         spark,
-        n_inserted=n,
+        n_inserted=ndv,
         grew_chain=(chain_before > 1),
         compact_not_growing=(chain_after <= chain_before),
-        all_present_before=present_before,
-        all_present_after=present_after,
+        all_present_before=(missing_before == 0),
+        all_present_after=(missing_after == 0),
     )
 
 
@@ -246,7 +262,8 @@ SELECT CAST(TRUE AS BOOLEAN) AS all_present_after,
        CAST(TRUE AS BOOLEAN) AS all_present_before,
        CAST(TRUE AS BOOLEAN) AS compact_not_growing,
        CAST(TRUE AS BOOLEAN) AS grew_chain,
-       CAST(100000 AS BIGINT) AS n_inserted
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_inserted
+FROM orders
 """
 
 
