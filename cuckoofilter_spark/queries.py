@@ -1054,6 +1054,56 @@ FROM documents WHERE doc_id < 100
 """
 
 
+def q_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-only membership pruning (the zero-Python probe path): a semi
+    join under Catalyst's runtime bloom filter injection.  Gates BOTH that
+    the optimizer actually injected ``might_contain`` into the probe scan
+    (broadcast disabled for the measurement — the 100 TB shuffle-join
+    regime) and that the pruned row count equals the exact semi join's,
+    which the oracle recomputes."""
+    from cuckoofilter_spark.operators.jvm_prune import (
+        RUNTIME_BLOOM_CONFS,
+        bloom_pruned_semi_join,
+        enable_runtime_bloom,
+        plan_has_bloom_prune,
+    )
+
+    keys = dict(RUNTIME_BLOOM_CONFS)
+    keys["spark.sql.autoBroadcastJoinThreshold"] = "-1"
+    old = {k: spark.conf.get(k, None) for k in keys}
+    li = T(spark, sf_dir, "lineitem").select("l_partkey")
+    sel = T(spark, sf_dir, "part").filter(F.col("p_size") == 1)
+    try:
+        enable_runtime_bloom(spark)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        pruned = bloom_pruned_semi_join(li, "l_partkey", sel, "p_partkey")
+        n_pruned = pruned.count()
+        injected = plan_has_bloom_prune(pruned)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    n_exact = li.join(sel.select("p_partkey"),
+                      li["l_partkey"] == sel["p_partkey"], "left_semi").count()
+    return _bool_row(
+        spark,
+        n_member_rows=n_pruned,
+        bloom_injected=injected,
+        matches_exact=(n_pruned == n_exact),
+    )
+
+
+SQL_BLOOM_PRUNED_JOIN = """
+SELECT CAST(TRUE AS BOOLEAN) AS bloom_injected,
+       CAST(TRUE AS BOOLEAN) AS matches_exact,
+       CAST(COUNT(*) AS BIGINT) AS n_member_rows
+FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1)
+"""
+
+
 FASTA_PATH = "/root/reference/Data/ecoli_small.fna"
 FASTA_K = 10
 
@@ -1170,6 +1220,7 @@ QUERIES = {
     "top_parts_per_brand": q_top_parts_per_brand,
     "word_membership": q_word_membership,
     "clean_corpus": q_clean_corpus,
+    "bloom_pruned_join": q_bloom_pruned_join,
     "fasta_kmers": q_fasta_kmers,
     "tokens_cf_build": q_tokens_cf_build,
 }
@@ -1208,6 +1259,7 @@ ORACLES = {
     "top_parts_per_brand": SQL_TOP_PARTS_PER_BRAND,
     "word_membership": SQL_WORD_MEMBERSHIP,
     "clean_corpus": SQL_CLEAN_CORPUS,
+    "bloom_pruned_join": SQL_BLOOM_PRUNED_JOIN,
     "fasta_kmers": SQL_FASTA_KMERS,
     "tokens_cf_build": SQL_TOKENS_CF_BUILD,
 }
