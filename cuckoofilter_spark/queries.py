@@ -926,6 +926,67 @@ FROM events GROUP BY event_type
 """
 
 
+def q_streaming_windowed_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked event-time windows under the gate: per-day distinct
+    users via the windowed stateful HLL operator
+    (``streaming/windowed.py``, applyInPandasWithState + EventTimeTimeout),
+    checked against the exact per-window batch answer within the 3σ HLL
+    bound.  Window starts are emitted as epoch seconds so the oracle's
+    ``date_trunc('day')`` arithmetic is engine-neutral (session tz is
+    pinned UTC)."""
+    import uuid
+
+    from cuckoofilter_spark.streaming.windowed import windowed_distinct
+
+    batch = T(spark, sf_dir, "events")
+    stream = (spark.readStream.schema(batch.schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    # parquet stores TIMESTAMP_NTZ; watermarks need TIMESTAMP(_LTZ) — the
+    # UTC session makes the cast instant-preserving
+    win = windowed_distinct(
+        stream.select(F.col("ts").cast("timestamp").alias("ts"), "user_id"),
+        "ts", "user_id", window="1 day", watermark="1 hour", p=14)
+    name = f"q_streaming_windowed_{uuid.uuid4().hex[:8]}"
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as ck:
+        q = (win.writeStream.format("memory").queryName(name)
+             .option("checkpointLocation", ck)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+    # collected timestamps are naive in the session tz (pinned UTC) —
+    # epoch them explicitly as UTC, never via tz-local .timestamp()
+    import calendar
+
+    def epoch_utc(dt) -> int:
+        return int(calendar.timegm(dt.timetuple()))
+
+    # last update per window (the HLL estimate is nondecreasing in data
+    # absorbed, so max = the estimate after the window's final update)
+    got = {}
+    for r in spark.sql(f"SELECT * FROM {name}").collect():
+        k = epoch_utc(r["window_start"])
+        got[k] = max(got.get(k, 0), int(r["ndv_estimate"]))
+    exact = {epoch_utc(r["w"]): int(r["ndv"]) for r in
+             batch.groupBy(F.window(F.col("ts").cast("timestamp"), "1 day")
+                           .alias("win"))
+             .agg(F.countDistinct("user_id").alias("ndv"))
+             .select(F.col("win.start").alias("w"), "ndv").collect()}
+    rel = 3 * 1.04 / (1 << 14) ** 0.5
+    rows = [(k, e, bool(k in got and abs(got[k] - e) / e <= rel))
+            for k, e in sorted(exact.items())]
+    return spark.createDataFrame(
+        rows, "window_start_epoch long, exact_ndv long, within_3sigma boolean")
+
+
+SQL_STREAMING_WINDOWED_NDV = """
+SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS window_start_epoch,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_ndv,
+       CAST(TRUE AS BOOLEAN) AS within_3sigma
+FROM events GROUP BY 1
+"""
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) via window functions —
     lag + cumulative sum of session starts per user.  Exact."""
@@ -1214,6 +1275,7 @@ QUERIES = {
     "routed_membership": q_routed_membership,
     "ngram_membership": q_ngram_membership,
     "streaming_ndv": q_streaming_ndv,
+    "streaming_windowed_ndv": q_streaming_windowed_ndv,
     "events_sessionize": q_events_sessionize,
     "orders_rollup": q_orders_rollup,
     "orders_cube": q_orders_cube,
@@ -1253,6 +1315,7 @@ ORACLES = {
     "routed_membership": SQL_ROUTED_MEMBERSHIP,
     "ngram_membership": SQL_NGRAM_MEMBERSHIP,
     "streaming_ndv": SQL_STREAMING_NDV,
+    "streaming_windowed_ndv": SQL_STREAMING_WINDOWED_NDV,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "orders_rollup": SQL_ORDERS_ROLLUP,
     "orders_cube": SQL_ORDERS_CUBE,
