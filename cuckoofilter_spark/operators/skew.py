@@ -60,3 +60,35 @@ def replicated_skew_join(big: DataFrame, small: DataFrame, key: str,
 # fully-duplicated hot rows pass a distinct-ish column list explicitly or
 # pre-attach an ingest id; content-hashing is what keeps salt assignment
 # stable across task retries and checkpoint resumes (north_rule).
+
+
+def kll_range_bounds(df: DataFrame, col: str, n_parts: int,
+                     k: int = 200, seed: int = 5) -> "list[float]":
+    """Balanced range cut points from the distributed KLL sketch: one
+    narrow pass builds the sketch (state-only shuffle — one ~KB blob per
+    partition), then quantiles at i/n_parts.  This is the sketch-library
+    answer to Spark's own range partitioner, whose reservoir sampling
+    launches an extra collect job per sort/repartitionByRange; the KLL
+    bounds are mergeable state that can be maintained incrementally
+    (streaming) and reused across jobs."""
+    import numpy as np
+
+    from cuckoofilter_spark.operators.sketch_build import build_sketch
+    from cuckoofilter_spark.sketches.kll import KLLSketch
+
+    kll = build_sketch(df.select(col), col,
+                       lambda pid: KLLSketch(k=k, seed=seed), values="float")
+    qs = np.arange(1, n_parts) / n_parts
+    return [float(v) for v in kll.quantile(qs)]
+
+
+def with_range_bucket(df: DataFrame, col: str, bounds: "list[float]",
+                      col_name: str = "_bucket") -> DataFrame:
+    """Monotone bucket id per row from precomputed cut points (JVM-side
+    chained comparisons — no UDF).  ``repartition(n, col_name)`` then
+    spreads a skewed numeric column into ~equal-sized partitions; the
+    bucket id is also the sort-bucket for bucketed writes."""
+    bucket: Column = F.lit(0)
+    for b in bounds:
+        bucket = bucket + (F.col(col) > F.lit(float(b))).cast("int")
+    return df.withColumn(col_name, bucket.cast("long"))
