@@ -345,6 +345,55 @@ FROM events GROUP BY event_type
 """
 
 
+def q_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set algebra: |A ∪ B| by register-max merge and |A ∩ B| by
+    inclusion–exclusion over two independently-built HLLs (A = all
+    customer keys, B = customer keys appearing in orders — a real
+    containment relation).  Exact counts computed in Spark and recomputed
+    by the oracle; the estimates must sit within the published bounds
+    (union: 3σ relative; intersection: 3σ·|A∪B| absolute — the documented
+    HLL set-op limitation, sketches/hll.py:100-105)."""
+    from cuckoofilter_spark.sketches.hll import (
+        intersection_estimate,
+        union_estimate,
+    )
+
+    cust = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("k"))
+    ordc = T(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("k"))
+    mk = lambda pid: HyperLogLog(p=14, seed=7)  # noqa: E731
+    ha = build_sketch(cust, "k", mk, num_partitions=8)
+    hb = build_sketch(ordc, "k", mk, num_partitions=8)
+
+    n_a = cust.distinct().count()
+    n_b = ordc.distinct().count()
+    n_union = cust.union(ordc).distinct().count()
+    n_inter = cust.distinct().join(ordc.distinct(), "k", "left_semi").count()
+
+    rel = 3 * ha.rel_error
+    est_union = union_estimate(ha, hb)
+    est_inter = intersection_estimate(ha, hb)
+    return _bool_row(
+        spark,
+        n_a=n_a, n_b=n_b, n_union=n_union, n_inter=n_inter,
+        union_within_3sigma=(abs(est_union - n_union) / n_union <= rel),
+        inter_within_bound=(abs(est_inter - n_inter) <= rel * n_union),
+    )
+
+
+SQL_HLL_SET_ALGEBRA = """
+SELECT CAST(TRUE AS BOOLEAN) AS inter_within_bound,
+       CAST((SELECT COUNT(DISTINCT c_custkey) FROM customer) AS BIGINT) AS n_a,
+       CAST((SELECT COUNT(DISTINCT o_custkey) FROM orders) AS BIGINT) AS n_b,
+       CAST((SELECT COUNT(*) FROM (SELECT DISTINCT c_custkey FROM customer
+             INTERSECT SELECT DISTINCT o_custkey FROM orders)) AS BIGINT) AS n_inter,
+       CAST((SELECT COUNT(*) FROM (SELECT c_custkey FROM customer
+             UNION SELECT o_custkey FROM orders)) AS BIGINT) AS n_union,
+       CAST(TRUE AS BOOLEAN) AS union_within_3sigma
+"""
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS point-frequency on the top-10 suppliers by lineitem count:
     one-sided (est ≥ true) and est ≤ true + εN w.p. 1-δ."""
@@ -1275,6 +1324,7 @@ QUERIES = {
     "bloom_membership": q_bloom_membership,
     "hll_ndv": q_hll_ndv,
     "hll_ndv_by_key": q_hll_ndv_by_key,
+    "hll_set_algebra": q_hll_set_algebra,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "kll_quantiles": q_kll_quantiles,
     "tdigest_quantiles": q_tdigest_quantiles,
@@ -1315,6 +1365,7 @@ ORACLES = {
     "bloom_membership": SQL_BLOOM_MEMBERSHIP,
     "hll_ndv": SQL_HLL_NDV,
     "hll_ndv_by_key": SQL_HLL_NDV_BY_KEY,
+    "hll_set_algebra": SQL_HLL_SET_ALGEBRA,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "kll_quantiles": _SQL_QUANTILES,
     "tdigest_quantiles": _SQL_QUANTILES,
