@@ -146,6 +146,52 @@ class CuckooTable:
         self.element_count -= 1
         return True
 
+    def bulk_delete_at(self, bidx: np.ndarray, fps: np.ndarray) -> np.ndarray:
+        """Vectorized batch of ``delete_at``: for each (bucket, fp) request
+        remove ONE stored copy if present; duplicate requests consume one
+        copy each while copies last.  Returns the per-request deleted mask.
+
+        Fully vectorized: requests collapse to unique (bucket, fp) pairs
+        with multiplicities; per pair ``min(requested, stored)`` copies are
+        cleared (different fps in one bucket occupy disjoint slots, so the
+        scatter is conflict-free), then touched buckets re-left-pack in one
+        argsort.  Semantically identical to looping ``delete_at`` — copies
+        of one (bucket, fp) are interchangeable."""
+        n = len(bidx)
+        out = np.zeros(n, dtype=bool)
+        if n == 0:
+            return out
+        key = (bidx.astype(np.uint64) << np.uint64(32)) | fps.astype(np.uint64)
+        order = np.argsort(key, kind="stable")
+        sk = key[order]
+        uniq, start, req = np.unique(sk, return_index=True, return_counts=True)
+        ub = (uniq >> np.uint64(32)).astype(np.int64)
+        uf = (uniq & np.uint64(0xFFFFFFFF)).astype(self.table.dtype)
+        rows = self.table[ub]                      # (m, epb) gathered copies
+        match = rows == uf[:, None]
+        avail = match.sum(axis=1)
+        ndel = np.minimum(avail, req)
+        if not ndel.any():
+            return out
+        # grant the first ndel requests of each run (sorted order)
+        rank = np.arange(n, dtype=np.int64) - np.repeat(start, req)
+        granted_sorted = rank < np.repeat(ndel, req)
+        out[order[granted_sorted]] = True
+        # clear ndel matched slots per pair; within a bucket different fps
+        # match disjoint slots, so (bucket, col) writes never collide
+        mrank = np.cumsum(match, axis=1) - match
+        clear = match & (mrank < ndel[:, None])
+        pi, cols = np.nonzero(clear)
+        self.table[ub[pi], cols] = 0
+        # re-left-pack every touched bucket (occupied slots first, stable)
+        tb = np.unique(ub[ndel > 0])
+        trows = self.table[tb]
+        pack = np.argsort(trows == 0, axis=1, kind="stable")
+        self.table[tb] = np.take_along_axis(trows, pack, axis=1)
+        self.occ[tb] = np.count_nonzero(self.table[tb], axis=1).astype(np.int8)
+        self.element_count -= int(ndel.sum())
+        return out
+
     # -- stats ---------------------------------------------------------------
     @property
     def free_entries(self) -> int:

@@ -182,7 +182,12 @@ class DynamicCuckooFilter:
     # -- delete ----------------------------------------------------------------------
     def delete(self, keys: np.ndarray) -> np.ndarray:
         """First-hit delete across the chain
-        (``deleteElement``, ``DCF/dynamic_cuckoo_filter.h:393-416``)."""
+        (``deleteElement``, ``DCF/dynamic_cuckoo_filter.h:393-416``),
+        vectorized: per chain member, one ``bulk_delete_at`` on the i1
+        buckets then one on the still-remaining i2 buckets; satisfied
+        requests drop out before the next table.  Copies of one (bucket
+        pair, fp) are interchangeable, so the batch result is the same
+        multiset state the per-key loop produces."""
         keys = np.asarray(keys)
         n = len(keys)
         out = np.zeros(n, dtype=bool)
@@ -190,12 +195,18 @@ class DynamicCuckooFilter:
             return out
         fp, i1 = self.first_pass(keys)
         i2 = self.tables[0].complement(i1, fp)
-        for k in range(n):
-            f, a, b = int(fp[k]), int(i1[k]), int(i2[k])
-            for t in self.tables:
-                if t.delete_at(a, f) or t.delete_at(b, f):
-                    out[k] = True
-                    break
+        remaining = np.arange(n, dtype=np.int64)
+        for t in self.tables:
+            if len(remaining) == 0:
+                break
+            d1 = t.bulk_delete_at(i1[remaining], fp[remaining])
+            out[remaining[d1]] = True
+            remaining = remaining[~d1]
+            if len(remaining) == 0:
+                break
+            d2 = t.bulk_delete_at(i2[remaining], fp[remaining])
+            out[remaining[d2]] = True
+            remaining = remaining[~d2]
         return out
 
     # -- compaction ---------------------------------------------------------------

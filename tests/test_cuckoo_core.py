@@ -208,3 +208,58 @@ def test_determinism_across_runs():
         return serialize_filter(f)
 
     assert build() == build()
+
+
+def test_bulk_delete_matches_sequential_loop():
+    """Vectorized chain delete == the per-key delete_at loop: same
+    success mask, same surviving multiset (copies of one (bucket-pair,
+    fp) are interchangeable)."""
+    import numpy as np
+
+    from cuckoofilter_spark.core.dynamic_filter import DynamicCuckooFilter
+    from cuckoofilter_spark.params import CuckooParams
+
+    rng = np.random.default_rng(11)
+    params = CuckooParams(max_table_size=4096, bits_per_fp=12)
+    keys = rng.integers(0, 5000, size=20_000)  # heavy duplication
+    a = DynamicCuckooFilter(params, dedup=False)
+    b = DynamicCuckooFilter(params, dedup=False)
+    a.insert(keys)
+    b.insert(keys)
+
+    dels = rng.permutation(np.concatenate([keys[:15_000], rng.integers(6000, 7000, 500)]))
+    got = a.delete(dels)
+
+    # sequential reference: per-key first-hit loop over the same chain
+    fp, i1 = b.first_pass(dels)
+    i2 = b.tables[0].complement(i1, fp)
+    want = np.zeros(len(dels), dtype=bool)
+    for k in range(len(dels)):
+        for t in b.tables:
+            if t.delete_at(int(i1[k]), int(fp[k])) or t.delete_at(int(i2[k]), int(fp[k])):
+                want[k] = True
+                break
+    assert np.array_equal(got, want)
+    assert a.element_count == b.element_count
+    # surviving multiset identical: same stored (canonical bucket, fp) bags
+    def bag(f):
+        out = []
+        for t in f.tables:
+            r, fps_ = t.nonzero_entries()
+            canon = np.minimum(r, t.complement(r, fps_))
+            out.append((canon.astype(np.uint64) << np.uint64(32)) | fps_)
+        return np.sort(np.concatenate(out))
+    assert np.array_equal(bag(a), bag(b))
+
+
+def test_bulk_delete_duplicates_consume_distinct_copies():
+    import numpy as np
+
+    from cuckoofilter_spark.core.dynamic_filter import DynamicCuckooFilter
+    from cuckoofilter_spark.params import CuckooParams
+
+    f = DynamicCuckooFilter(CuckooParams(max_table_size=1024), dedup=False)
+    f.insert(np.array([42, 42, 42], dtype=np.int64))
+    res = f.delete(np.array([42, 42, 42, 42], dtype=np.int64))
+    assert res.sum() == 3 and not res[3]
+    assert not f.contains(np.array([42]))[0]
