@@ -99,3 +99,24 @@ def test_register_sketch_sql(spark, sf_dir):
     for r in rows:
         assert r["est"] >= r["true_cnt"]
         assert r["est"] <= r["true_cnt"] + cms.eps * cms.n_items
+
+
+def test_sketch_udf_cache_does_not_alias_same_header_sketches(spark):
+    """Two same-param Bloom filters share their serialized header; the
+    per-process UDF cache must key on the FULL blob or one silently
+    serves the other's answers."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cuckoofilter_spark.functions.registry import register_sketch
+    from cuckoofilter_spark.sketches.bloom import BloomFilter
+
+    a = BloomFilter.for_capacity(10_000, fpp=1e-4, seed=11)
+    b = BloomFilter.for_capacity(10_000, fpp=1e-4, seed=11)
+    a.update(np.arange(0, 1000, dtype=np.int64))
+    b.update(np.arange(50_000, 51_000, dtype=np.int64))
+    ua = register_sketch(spark, a, "alias_a")
+    ub = register_sketch(spark, b, "alias_b")
+    probes = spark.range(0, 1000)
+    assert probes.filter(ua(F.col("id"))).count() == 1000
+    assert probes.filter(ub(F.col("id"))).count() <= 3  # FP noise only

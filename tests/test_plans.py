@@ -54,3 +54,10 @@ def test_topk_broadcasts_queries(spark, sf01_dir):
     df = cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
     plan = explain_str(df, "simple")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_round_robin_exchange_counted_once(spark, sf_dir):
+    """repartition(n) is ONE shuffle — the audit must not double-count
+    RoundRobinPartitioning exchanges."""
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(7)
+    assert count_exchanges(df) == 1

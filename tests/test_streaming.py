@@ -168,3 +168,29 @@ def test_sliding_windowed_distinct(spark, tmp_path):
     rel = 3 * 1.04 / np.sqrt(1 << 12)
     for w, e in exact.items():
         assert abs(got[w] - e) / e <= rel, (w, got[w], e)
+
+
+def test_replayed_batch_is_not_double_counted(spark, token_files, tmp_path):
+    """foreachBatch is at-least-once: replaying a committed batch_id must
+    be a no-op (guard persisted atomically with the blob), or CMS-family
+    sketches double-count after crash recovery."""
+    from cuckoofilter_spark.sketches.countmin import CountMinSketch
+
+    b = StreamingSketchBuilder(
+        lambda pid: CountMinSketch(depth=5, width=1 << 12, seed=3),
+        "tokens", state_dir=str(tmp_path / "cms_state"))
+    batch = spark.read.parquet(token_files)
+    b.process_batch(batch, 0)
+    once = b.sketch.estimate(np.arange(50, dtype=np.int64)).copy()
+    b.process_batch(batch, 0)  # replay of the same micro-batch
+    assert np.array_equal(b.sketch.estimate(np.arange(50, dtype=np.int64)), once)
+    b.process_batch(batch, 1)  # a genuinely new batch still merges
+    assert b.sketch.estimate(np.arange(50, dtype=np.int64)).sum() > once.sum()
+    # restart from disk: last_batch_id survives, replay still skipped
+    b2 = StreamingSketchBuilder(
+        lambda pid: CountMinSketch(depth=5, width=1 << 12, seed=3),
+        "tokens", state_dir=str(tmp_path / "cms_state"))
+    assert b2.last_batch_id == 1
+    twice = b2.sketch.estimate(np.arange(50, dtype=np.int64)).copy()
+    b2.process_batch(batch, 1)
+    assert np.array_equal(b2.sketch.estimate(np.arange(50, dtype=np.int64)), twice)
