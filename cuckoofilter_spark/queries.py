@@ -232,9 +232,11 @@ def q_dcf_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = T(spark, sf_dir, "orders").select(
         F.col("o_orderkey").cast("long").alias("o_orderkey"))
     # exact distinct count: it is both the reported n_inserted (the oracle
-    # recomputes it) and the under-sizing basis
+    # recomputes it) and the under-sizing basis.  capacity ≈ 0.9·slots ≈
+    # 1.8·max_table_size, so ndv//3 guarantees a chain ≥ 2 at every SF
+    # (the 'grew_chain' gate) — no floor, or small-SF tables fit in one.
     ndv = int(orders.agg(F.countDistinct("o_orderkey")).collect()[0][0])
-    params = CuckooParams(max_table_size=max(1024, ndv // 3), bits_per_fp=16)
+    params = CuckooParams(max_table_size=max(64, ndv // 3), bits_per_fp=16)
     filt = build_filter(orders, "o_orderkey", params, num_partitions=8,
                         dedup=True, compact=False)
 
