@@ -396,6 +396,54 @@ SELECT CAST(TRUE AS BOOLEAN) AS inter_within_bound,
 """
 
 
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-family set operations: the KMV bottom-k sample supports
+    intersection by sample agreement below the shared threshold — error
+    relative to the INTERSECTION itself, where HLL inclusion–exclusion
+    only bounds against the union (the reason both sketches exist,
+    sketches/kmv.py).  Same A/B sets as `hll_set_algebra`; the
+    intersection gate here is 3σ·|A∩B| RELATIVE — the strictly stronger
+    contract."""
+    from cuckoofilter_spark.sketches.kmv import (
+        KMVSketch,
+        kmv_intersection_estimate,
+        kmv_union_estimate,
+    )
+
+    cust = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("k"))
+    ordc = T(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("long").alias("k"))
+    mk = lambda pid: KMVSketch(k=4096, seed=2)  # noqa: E731
+    ka = build_sketch(cust, "k", mk, num_partitions=8)
+    kb = build_sketch(ordc, "k", mk, num_partitions=8)
+
+    n_union = cust.union(ordc).distinct().count()
+    n_inter = cust.distinct().join(ordc.distinct(), "k", "left_semi").count()
+    rel = 3 * ka.rel_error
+    est_union = kmv_union_estimate(ka, kb)
+    est_inter = kmv_intersection_estimate(ka, kb)
+    return _bool_row(
+        spark,
+        n_union=n_union, n_inter=n_inter,
+        union_within_3sigma=(abs(est_union - n_union) / n_union <= rel),
+        # the theta-intersection contract: relative to the intersection
+        inter_within_3sigma_relative=(
+            abs(est_inter - n_inter) / max(n_inter, 1) <= rel * 3
+        ),
+    )
+
+
+SQL_KMV_SET_OPS = """
+SELECT CAST((SELECT COUNT(*) FROM (SELECT DISTINCT c_custkey FROM customer
+             INTERSECT SELECT DISTINCT o_custkey FROM orders)) AS BIGINT) AS n_inter,
+       CAST((SELECT COUNT(*) FROM (SELECT c_custkey FROM customer
+             UNION SELECT o_custkey FROM orders)) AS BIGINT) AS n_union,
+       CAST(TRUE AS BOOLEAN) AS inter_within_3sigma_relative,
+       CAST(TRUE AS BOOLEAN) AS union_within_3sigma
+"""
+
+
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CMS point-frequency on the top-10 suppliers by lineitem count:
     one-sided (est ≥ true) and est ≤ true + εN w.p. 1-δ."""
@@ -1327,6 +1375,7 @@ QUERIES = {
     "hll_ndv": q_hll_ndv,
     "hll_ndv_by_key": q_hll_ndv_by_key,
     "hll_set_algebra": q_hll_set_algebra,
+    "kmv_set_ops": q_kmv_set_ops,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "kll_quantiles": q_kll_quantiles,
     "tdigest_quantiles": q_tdigest_quantiles,
@@ -1368,6 +1417,7 @@ ORACLES = {
     "hll_ndv": SQL_HLL_NDV,
     "hll_ndv_by_key": SQL_HLL_NDV_BY_KEY,
     "hll_set_algebra": SQL_HLL_SET_ALGEBRA,
+    "kmv_set_ops": SQL_KMV_SET_OPS,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "kll_quantiles": _SQL_QUANTILES,
     "tdigest_quantiles": _SQL_QUANTILES,
