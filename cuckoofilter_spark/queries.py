@@ -1106,6 +1106,50 @@ FROM events GROUP BY 1
 """
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedup under the gate (streaming/dedup.py):
+    first-seen events per user flow through the per-route cuckoo-filter
+    state.  Gates: at-most-once per key (hard — no false negatives), and
+    under-delivery within the FP bound; the exact distinct count is
+    recomputed by the oracle."""
+    import tempfile
+    import uuid
+
+    from cuckoofilter_spark.streaming.dedup import streaming_dedup_by_key
+
+    batch = T(spark, sf_dir, "events")
+    stream = (spark.readStream.schema(batch.schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
+    params = CuckooParams(max_table_size=4096, bits_per_fp=16)
+    out = streaming_dedup_by_key(stream.select("user_id", "event_id"),
+                                 "user_id", params, n_routes=8)
+    name = f"q_streaming_dedup_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ck:
+        q = (out.writeStream.format("memory").queryName(name)
+             .option("checkpointLocation", ck)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+    passed = [r["user_id"] for r in spark.sql(f"SELECT user_id FROM {name}").collect()]
+    n_exact = batch.select("user_id").distinct().count()
+    eps = params.fpr_bound
+    return _bool_row(
+        spark,
+        n_distinct_users=n_exact,
+        at_most_once=(len(passed) == len(set(passed))),
+        drops_within_bound=(
+            len(set(passed)) >= n_exact - max(3, int(3 * eps * n_exact))
+            and len(passed) <= n_exact),
+    )
+
+
+SQL_STREAMING_DEDUP = """
+SELECT CAST(TRUE AS BOOLEAN) AS at_most_once,
+       CAST(TRUE AS BOOLEAN) AS drops_within_bound,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct_users
+FROM events
+"""
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) via window functions —
     lag + cumulative sum of session starts per user.  Exact."""
@@ -1397,6 +1441,7 @@ QUERIES = {
     "ngram_membership": q_ngram_membership,
     "streaming_ndv": q_streaming_ndv,
     "streaming_windowed_ndv": q_streaming_windowed_ndv,
+    "streaming_dedup": q_streaming_dedup,
     "events_sessionize": q_events_sessionize,
     "orders_rollup": q_orders_rollup,
     "orders_cube": q_orders_cube,
@@ -1439,6 +1484,7 @@ ORACLES = {
     "ngram_membership": SQL_NGRAM_MEMBERSHIP,
     "streaming_ndv": SQL_STREAMING_NDV,
     "streaming_windowed_ndv": SQL_STREAMING_WINDOWED_NDV,
+    "streaming_dedup": SQL_STREAMING_DEDUP,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "orders_rollup": SQL_ORDERS_ROLLUP,
     "orders_cube": SQL_ORDERS_CUBE,

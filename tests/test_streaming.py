@@ -194,3 +194,41 @@ def test_replayed_batch_is_not_double_counted(spark, token_files, tmp_path):
     twice = b2.sketch.estimate(np.arange(50, dtype=np.int64)).copy()
     b2.process_batch(batch, 1)
     assert np.array_equal(b2.sketch.estimate(np.arange(50, dtype=np.int64)), twice)
+
+
+def test_streaming_dedup_by_key(spark, tmp_path):
+    """Bounded-state streaming dedup: at-most-once per key guaranteed
+    (no key twice in the output); under-delivery bounded by the filter's
+    FPR; state survives across micro-batches."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from cuckoofilter_spark.params import CuckooParams
+    from cuckoofilter_spark.streaming.dedup import streaming_dedup_by_key
+
+    src = str(tmp_path / "dedup_src")
+    # 3 files => 3 micro-batches; keys repeat across batches
+    for i in range(3):
+        (spark.range(i * 2000, i * 2000 + 6000)
+         .select((F.col("id") % 9000).alias("k"), F.lit(i).alias("batch"))
+         .coalesce(1).write.mode("append").parquet(src))
+    batch = spark.read.parquet(src)
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    params = CuckooParams(max_table_size=2048, bits_per_fp=16)
+    out = streaming_dedup_by_key(stream, "k", params, n_routes=8)
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    got = spark.sql(f"SELECT k FROM {name}").collect()
+    seen = [r["k"] for r in got]
+    assert len(seen) == len(set(seen))  # HARD guarantee: at most once
+    n_exact = batch.select("k").distinct().count()
+    eps = params.fpr_bound
+    # every distinct key passes except FP drops (<= ~3*eps*n + slack)
+    assert len(seen) <= n_exact
+    assert len(seen) >= n_exact - max(3, int(3 * eps * n_exact))
