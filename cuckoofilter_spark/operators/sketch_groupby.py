@@ -60,3 +60,35 @@ def ndv_by_key(df: DataFrame, key: str, value: str, p: int = 12, seed: int = 7,
             merge_estimate, schema=f"{key} {key_t}, ndv_estimate long")
     return df.groupBy(key).applyInPandas(
         estimate_direct, schema=f"{key} {key_t}, ndv_estimate long")
+
+
+def quantiles_by_key(df: DataFrame, key: str, value: str,
+                     qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+                     k: int = 200, seed: int = 5) -> DataFrame:
+    """(key, q_x100, quantile_estimate) — one KLL sketch per key, the
+    `GROUP BY` whose aggregate is a quantile sketch.  State per key is
+    O(k·log(n/k)) floats regardless of group size (an exact per-key
+    percentile sorts every group).  Rank error ≤ ~1.7/k per the KLL bound,
+    checked against exact per-key ranks in tests and the driver oracle."""
+    from cuckoofilter_spark.sketches.kll import KLLSketch
+
+    key_t = dict(df.dtypes)[key]
+    qarr = np.asarray(qs, dtype=np.float64)
+
+    def per_key(kdf: pd.DataFrame) -> pd.DataFrame:
+        kll = KLLSketch(k=k, seed=seed)
+        vals = kdf[value].to_numpy(dtype=np.float64, na_value=np.nan)
+        vals = vals[~np.isnan(vals)]
+        if len(vals):
+            kll.update(vals)
+            est = kll.quantile(qarr)
+        else:
+            est = np.full(len(qarr), np.nan)
+        return pd.DataFrame({
+            key: np.repeat(kdf[key].iloc[0], len(qarr)),
+            "q_x100": (qarr * 100).astype(np.int64),
+            "quantile_estimate": est,
+        })
+
+    return df.groupBy(key).applyInPandas(
+        per_key, schema=f"{key} {key_t}, q_x100 long, quantile_estimate double")

@@ -500,6 +500,39 @@ SELECT * FROM (VALUES (1, TRUE), (10, TRUE), (25, TRUE), (50, TRUE),
 """
 
 
+def q_kll_quantiles_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key quantile sketches (GROUP BY with a KLL aggregate,
+    operators/sketch_groupby.quantiles_by_key): per event type, the
+    25/50/75th percentile estimates of `value` must each have true
+    within-group rank within 3× the KLL rank-error bound — the exact
+    ranks are computed in one Spark join+aggregate and the oracle asserts
+    the gates over the same (key, q) grid."""
+    from cuckoofilter_spark.operators.sketch_groupby import quantiles_by_key
+    from cuckoofilter_spark.sketches.kll import KLLSketch
+
+    ev = T(spark, sf_dir, "events").select("event_type", "value")
+    est = quantiles_by_key(ev, "event_type", "value", (0.25, 0.5, 0.75), k=200)
+    bound = 3 * KLLSketch(k=200).rank_error
+    ranks = (
+        est.join(ev, "event_type")
+        .groupBy("event_type", "q_x100", "quantile_estimate")
+        .agg(F.sum(F.when(F.col("value") <= F.col("quantile_estimate"), 1)
+                   .otherwise(0)).alias("r"),
+             F.count("*").alias("n"))
+    )
+    return ranks.select(
+        "event_type", F.col("q_x100").cast("long").alias("q_x100"),
+        (F.abs(F.col("r") / F.col("n") - F.col("q_x100") / 100.0) <= bound)
+        .alias("within_bound"))
+
+
+SQL_KLL_QUANTILES_BY_KEY = """
+SELECT e.event_type, t.q_x100, CAST(TRUE AS BOOLEAN) AS within_bound
+FROM (SELECT DISTINCT event_type FROM events) e,
+     (VALUES (25), (50), (75)) AS t(q_x100)
+"""
+
+
 def q_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem").select("l_extendedprice")
     kll = build_sketch(li, "l_extendedprice", lambda pid: KLLSketch(k=200, seed=5),
@@ -1422,6 +1455,7 @@ QUERIES = {
     "kmv_set_ops": q_kmv_set_ops,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "kll_quantiles": q_kll_quantiles,
+    "kll_quantiles_by_key": q_kll_quantiles_by_key,
     "tdigest_quantiles": q_tdigest_quantiles,
     "exact_dedup": q_exact_dedup,
     "token_stats": q_token_stats,
@@ -1465,6 +1499,7 @@ ORACLES = {
     "kmv_set_ops": SQL_KMV_SET_OPS,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
     "kll_quantiles": _SQL_QUANTILES,
+    "kll_quantiles_by_key": SQL_KLL_QUANTILES_BY_KEY,
     "tdigest_quantiles": _SQL_QUANTILES,
     "exact_dedup": SQL_EXACT_DEDUP,
     "token_stats": SQL_TOKEN_STATS,

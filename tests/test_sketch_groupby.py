@@ -47,3 +47,21 @@ def test_hll_set_operations():
     assert abs(i - 20_000) <= 3 * a.rel_error * 100_000
     # non-mutating
     assert abs(a.estimate() - 60_000) / 60_000 <= 3 * a.rel_error
+
+
+def test_quantiles_by_key_within_rank_bound(spark, sf01_dir):
+    from pyspark.sql import functions as F
+
+    from cuckoofilter_spark.operators.sketch_groupby import quantiles_by_key
+    from cuckoofilter_spark.sketches.kll import KLLSketch
+
+    ev = spark.read.parquet(f"{sf01_dir}/events.parquet").select("event_type", "value")
+    est = quantiles_by_key(ev, "event_type", "value", (0.25, 0.5, 0.75), k=200)
+    rows = est.collect()
+    assert len(rows) == ev.select("event_type").distinct().count() * 3
+    bound = 3 * KLLSketch(k=200).rank_error
+    pdf = ev.toPandas()
+    for r in rows:
+        grp = pdf[pdf["event_type"] == r["event_type"]]["value"]
+        rank = (grp <= r["quantile_estimate"]).mean()
+        assert abs(rank - r["q_x100"] / 100.0) <= bound, r
