@@ -1,0 +1,70 @@
+"""Connected components over near-duplicate pair sets — transitive dedup.
+
+Pairwise near-dup operators (`jaccard_pairs_prefix`, `minhash_near_dups`,
+`simhash_candidates`, `neardup_pairs_blas`) emit edges; keeping one doc
+per *connected component* is the correct retention rule (dropping `d2` of
+every pair over-deletes chains: A–B, B–C must keep exactly one of
+{A,B,C}, and deletion decisions must agree across partitions).
+
+Algorithm: iterative min-label propagation (the DataFrame form of
+hash-to-min, cf. Kiveris et al. "Connected Components in MapReduce",
+SoCC'14).  Each round every node adopts the minimum label among itself
+and its neighbors; convergence in O(diameter) rounds — near-dup clusters
+are short chains, so a handful of rounds in practice (`max_iter` bounds
+the worst case; the loop exits early on fixpoint via a count of changed
+labels).  Each round is one join + one groupBy-min (both map-side
+combinable); lineage is truncated with ``localCheckpoint`` so the plan
+doesn't grow with iterations.
+
+Scale: the edge relation is the operator's input size (candidate pairs,
+already pruned by LSH/prefix filtering — orders of magnitude below the
+corpus); labels are (node, long).  No driver-side state beyond the
+per-round changed-count scalar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(node, component) for every node appearing in *pairs* (columns
+    ``d1``, ``d2``); component = the minimum node id reachable."""
+    edges = (pairs.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+             .union(pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b")))
+             .distinct()
+             .localCheckpoint(eager=True))
+    labels = (edges.select(F.col("a").alias("node"))
+              .distinct()
+              .withColumn("comp", F.col("node")))
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select("node",
+                    F.least(F.col("comp"),
+                            F.coalesce(F.col("nbr_comp"), F.col("comp")))
+                    .alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.comp") != F.col("o.comp")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", "comp")
+
+
+def cluster_representatives(pairs: DataFrame,
+                            max_iter: int = 20) -> DataFrame:
+    """(node, comp, keep): transitive dedup decision per clustered doc —
+    ``keep`` is true only for the component's minimum id (the same
+    min-id retention rule `exact_dedup` uses)."""
+    cc = connected_components(pairs, max_iter)
+    return cc.select("node", "comp", (F.col("node") == F.col("comp")).alias("keep"))

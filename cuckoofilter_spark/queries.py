@@ -833,6 +833,43 @@ SELECT CAST(TRUE AS BOOLEAN) AS pairs_canonical,
 """
 
 
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup: connected components over the exact Jaccard ≥ τ
+    pair set (iterative min-label propagation,
+    operators/components.py) — each clustered doc labeled with its
+    component's minimum id and the keep/drop decision.  Exact: the oracle
+    recomputes the same pairs and closes them with a recursive CTE."""
+    from cuckoofilter_spark.operators.components import cluster_representatives
+
+    pairs = D.jaccard_pairs_prefix(_shingles(spark, sf_dir, 3), JACCARD_TAU)
+    return cluster_representatives(pairs.select("d1", "d2")).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("comp").cast("long").alias("comp"),
+        "keep")
+
+
+SQL_NEARDUP_CLUSTERS = ("WITH " + _SQL_SHINGLES + """,
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id),
+pairs AS (SELECT d1, d2 FROM inter
+          JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+          WHERE floor(i * 10000 / (sa.n_sh + sb.n_sh - i)) >= """
+                        + str(JACCARD_TAU) + """),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+reach AS (
+  WITH RECURSIVE r(a, b) AS (
+    SELECT a, b FROM edges UNION SELECT a, a FROM edges
+    UNION
+    SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a
+  ) SELECT * FROM r)
+SELECT a AS node, CAST(MIN(b) AS BIGINT) AS comp,
+       CAST(a = MIN(b) AS BOOLEAN) AS keep
+FROM reach GROUP BY a
+""")
+
+
 def q_emb_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = T(spark, sf_dir, "embeddings")
     return S.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
@@ -1466,6 +1503,7 @@ QUERIES = {
     "media_pipeline": q_media_pipeline,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
+    "neardup_clusters": q_neardup_clusters,
     "simhash_dups": q_simhash_dups,
     "emb_topk": q_emb_topk,
     "emb_neardup": q_emb_neardup,
@@ -1510,6 +1548,7 @@ ORACLES = {
     "media_pipeline": SQL_MEDIA_PIPELINE,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "minhash_lsh": SQL_MINHASH_LSH,
+    "neardup_clusters": SQL_NEARDUP_CLUSTERS,
     "simhash_dups": SQL_SIMHASH_DUPS,
     "emb_topk": SQL_EMB_TOPK,
     "emb_neardup": SQL_EMB_NEARDUP,
