@@ -82,6 +82,43 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
+def resize_media(df: DataFrame, width: int, height: int,
+                 decode: str = "deterministic") -> DataFrame:
+    """payload → payload at (width, height): the binary-in/binary-out
+    transform stage (image resize / audio resample shape).  The pixel
+    work is the same stubbed codec boundary: ``deterministic`` mode
+    emits a stable ``width·height``-byte payload derived by tiling or
+    truncating the source bytes (testable end-to-end — output size is
+    exact and content is a pure function of input); ``strict`` raises at
+    the real-decoder plug-in point.  Metadata columns are rewritten to
+    the target dimensions; all other plumbing (Arrow batching, schema,
+    partition sizing) is the production path."""
+
+    target = width * height
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payloads = []
+            for payload, mt in zip(pdf["payload"], pdf["media_type"]):
+                if decode == "strict":
+                    raise NotImplementedError(
+                        f"real {mt} resampler not available in this "
+                        "environment; plug PIL/ffmpeg here")
+                raw = bytes(payload)
+                if not raw:
+                    out_payloads.append(b"\x00" * target)
+                    continue
+                reps = -(-target // len(raw))
+                out_payloads.append((raw * reps)[:target])
+            out = pdf.copy()
+            out["payload"] = out_payloads
+            out["width"] = np.int32(width)
+            out["height"] = np.int32(height)
+            yield out
+
+    return df.mapInPandas(fn, schema=df.schema)
+
+
 def media_stats(df: DataFrame) -> DataFrame:
     """Metadata-only aggregate — verifies the binary column is pruned from
     the scan (ReadSchema excludes `payload`)."""

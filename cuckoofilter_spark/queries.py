@@ -750,6 +750,45 @@ def _shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     return hit
 
 
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (every 10th frame index, metadata-only —
+    the payload column is pruned from the scan) over the deterministic
+    media table, composed with the resize stage to prove the
+    binary-in/binary-out plumbing: emitted n_bytes must equal the exact
+    resize target 64·48, which the oracle recomputes as a constant."""
+    from cuckoofilter_spark.operators.multimodal import (
+        extract_features,
+        frame_sample_plan,
+        resize_media,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+         .when(F.col("doc_id") % 3 == 1, "audio").otherwise("video").alias("media_type"),
+        F.lit(640).cast("int").alias("width"), F.lit(480).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("sample_rate"),
+        (F.floor(F.length("text") / 50) + 1).cast("int").alias("n_frames"))
+    frames = frame_sample_plan(media, every_n=10)
+    resized = resize_media(media.filter(F.col("media_type") == "video"), 64, 48)
+    feat = extract_features(resized).select(
+        F.col("media_id"), F.col("n_bytes"))
+    return (frames.join(feat, "media_id")
+            .select("media_id", F.col("frame_idx").cast("long").alias("frame_idx"),
+                    F.col("n_bytes").cast("long").alias("resized_bytes")))
+
+
+SQL_MEDIA_FRAMES = """
+SELECT doc_id AS media_id,
+       CAST(unnest(generate_series(0, CAST(floor(strlen(text)/50) AS INT), 10))
+            AS BIGINT) AS frame_idx,
+       CAST(64 * 48 AS BIGINT) AS resized_bytes
+FROM documents WHERE doc_id % 3 = 2
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-filtered (PPJoin-style) exact Jaccard — identical output to
     the naive self-join, radically smaller candidate set at scale."""
@@ -1501,6 +1540,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "rolling_fingerprint": q_rolling_fingerprint,
     "media_pipeline": q_media_pipeline,
+    "media_frames": q_media_frames,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "neardup_clusters": q_neardup_clusters,
@@ -1546,6 +1586,7 @@ ORACLES = {
     "fingerprint": SQL_FINGERPRINT,
     "rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
     "media_pipeline": SQL_MEDIA_PIPELINE,
+    "media_frames": SQL_MEDIA_FRAMES,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "minhash_lsh": SQL_MINHASH_LSH,
     "neardup_clusters": SQL_NEARDUP_CLUSTERS,

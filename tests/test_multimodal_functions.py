@@ -120,3 +120,29 @@ def test_sketch_udf_cache_does_not_alias_same_header_sketches(spark):
     probes = spark.range(0, 1000)
     assert probes.filter(ua(F.col("id"))).count() == 1000
     assert probes.filter(ub(F.col("id"))).count() <= 3  # FP noise only
+
+
+def test_resize_media_plumbing(spark):
+    """binary-in/binary-out resize stage: output payload is exactly
+    width*height bytes, deterministic from input, metadata rewritten;
+    strict mode raises at the codec boundary."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cuckoofilter_spark.operators.multimodal import resize_media
+
+    docs = spark.range(0, 20).select(
+        F.col("id").alias("media_id"),
+        F.encode(F.concat(F.lit("payload"), F.col("id")), "UTF-8").alias("payload"),
+        F.lit("image").alias("media_type"),
+        F.lit(640).cast("int").alias("width"), F.lit(480).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("sample_rate"),
+        F.lit(None).cast("int").alias("n_frames"))
+    out = resize_media(docs, 64, 48).collect()
+    assert all(len(bytes(r["payload"])) == 64 * 48 for r in out)
+    assert all(r["width"] == 64 and r["height"] == 48 for r in out)
+    again = {r["media_id"]: bytes(r["payload"])
+             for r in resize_media(docs, 64, 48).collect()}
+    assert all(bytes(r["payload"]) == again[r["media_id"]] for r in out)
+    with pytest.raises(Exception, match="NotImplementedError|resampler"):
+        resize_media(docs, 8, 8, decode="strict").collect()
