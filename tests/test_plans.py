@@ -61,3 +61,30 @@ def test_round_robin_exchange_counted_once(spark, sf_dir):
     RoundRobinPartitioning exchanges."""
     df = spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(7)
     assert count_exchanges(df) == 1
+
+
+def test_frame_sample_plan_prunes_payload(spark, sf_dir):
+    """The metadata-only frame grid must never read the binary payload:
+    ReadSchema on the scan excludes it (media rows are MBs — reading
+    payloads for a frame-index plan is the 100TB mistake)."""
+    from pyspark.sql import functions as F
+
+    from cuckoofilter_spark.operators.multimodal import frame_sample_plan
+
+    path = f"{sf_dir}/documents.parquet"
+    docs = spark.read.parquet(path)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("video").alias("media_type"),
+        (F.floor(F.length("text") / 50) + 1).cast("int").alias("n_frames"))
+    # write as a real media table so the scan is a fresh parquet relation
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "media")
+        media.write.parquet(p)
+        frames = frame_sample_plan(spark.read.parquet(p), every_n=10)
+        cols = read_schema_columns(frames)
+        assert "payload" not in cols, cols
+        assert "n_frames" in cols
+        assert frames.count() > 0
