@@ -193,11 +193,20 @@ def build_filter_from_parquet(spark, path: str, col: str, params: CuckooParams,
         # wrong-path/permissions bug must not masquerade as that
         raise ValueError(f"no parquet files found under {path!r}")
     ptuple = params.to_tuple()
-    # one task per file WITHOUT a shuffle stage: a range source already has
-    # exactly n partitions, and the (small) file list rides a broadcast —
-    # a createDataFrame+repartition version costs an extra stage and ~2-3 s
-    # of pre-first-task latency at local[32]
+    # Split granularity: one task per FILE by default.  When the file
+    # count is below the cluster parallelism (single-file tables, small
+    # imports), split per ROW GROUP instead — the footer reads that
+    # requires are one per file, affordable exactly when files are few.
+    # Task list stays sorted-deterministic either way (merge-tree pinning).
+    par = spark.sparkContext.defaultParallelism
+    if len(files) < par:
+        splits = []
+        for fid, f in enumerate(files):
+            splits.extend((fid, rg) for rg in range(_num_row_groups(f)))
+    else:
+        splits = [(fid, -1) for fid in range(len(files))]  # -1 = whole file
     bc_files = spark.sparkContext.broadcast(files)
+    bc_splits = spark.sparkContext.broadcast(splits)
 
     def read_build(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         import pyarrow.parquet as pq
@@ -205,10 +214,12 @@ def build_filter_from_parquet(spark, path: str, col: str, params: CuckooParams,
 
         p = CuckooParams.from_tuple(ptuple)
         flist = bc_files.value
+        slist = bc_splits.value
         for b in batches:
-            for fid in b.column(0).to_pylist():
+            for sid in b.column(0).to_pylist():
+                fid, rg = slist[sid]
                 fpath = flist[fid]
-                filt = DynamicCuckooFilter(p, rng_seed=fid, dedup=dedup)
+                filt = DynamicCuckooFilter(p, rng_seed=sid, dedup=dedup)
                 n_rows = 0
                 n_items = 0
                 if "://" in fpath:
@@ -219,27 +230,39 @@ def build_filter_from_parquet(spark, path: str, col: str, params: CuckooParams,
                 # small streaming batches: ~8k docs ≈ 2M tokens ≈ 9 MB —
                 # decode scratch stays cache-resident; whole-file reads
                 # measured ~10× slower under 32-way concurrency
-                for rb in pf.iter_batches(columns=[col], batch_size=8192):
+                rgs = None if rg < 0 else [rg]
+                for rb in pf.iter_batches(columns=[col], batch_size=8192,
+                                          row_groups=rgs):
                     keys = _keys_from_arrow(rb.column(0))
                     n_rows += rb.num_rows
                     n_items += len(keys)
                     if len(keys):
                         filt.insert(keys)
                 yield pa.record_batch({
-                    "pid": pa.array([fid], pa.int64()),
+                    "pid": pa.array([sid], pa.int64()),
                     "blob": pa.array([serialize_filter(filt)], pa.binary()),
                     "n_rows": pa.array([n_rows], pa.int64()),
                     "n_items": pa.array([n_items], pa.int64()),
                 })
 
-    ids_df = spark.range(0, len(files), numPartitions=len(files))
+    ids_df = spark.range(0, len(splits), numPartitions=len(splits))
     blobs = ids_df.mapInArrow(read_build, schema=BLOB_SCHEMA)
-    filt, _, _ = tree_merge_blobs(blobs, fanin=fanin, n_blobs=len(files))
+    filt, _, _ = tree_merge_blobs(blobs, fanin=fanin, n_blobs=len(splits))
     if filt is None:
         filt = DynamicCuckooFilter(params, dedup=dedup)
     if compact:
         filt.compact()
     return filt
+
+
+def _num_row_groups(fpath: str) -> int:
+    import pyarrow.parquet as pq
+    from pyarrow import fs as pafs
+
+    if "://" in fpath:
+        rfs, rpath = pafs.FileSystem.from_uri(fpath)
+        return pq.ParquetFile(rfs.open_input_file(rpath)).metadata.num_row_groups
+    return pq.ParquetFile(fpath).metadata.num_row_groups
 
 
 def _list_parquet_files(path: str) -> list[str]:

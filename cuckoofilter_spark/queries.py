@@ -993,6 +993,25 @@ FROM embeddings WHERE vec_id < 10
 """
 
 
+def q_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit skew treatment under the gate: the two-phase salted
+    grouped count (partial count by (key, salt) → final sum per key,
+    operators/skew.py) must equal the plain ``GROUP BY`` exactly — the
+    oracle recomputes the plain counts.  At scale the salt bounds any hot
+    key's reducer input at 1/buckets of its rows."""
+    from cuckoofilter_spark.operators.skew import salted_group_count
+
+    ev = T(spark, sf_dir, "events")
+    return (salted_group_count(ev, "user_id", buckets=16)
+            .select(F.col("user_id").cast("long").alias("user_id"), "cnt"))
+
+
+SQL_SALTED_COUNTS = """
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events GROUP BY user_id
+"""
+
+
 def q_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep the first event per (user_id, event_type) — window-function
     dedup, the streaming-upsert pattern in batch form."""
@@ -1549,6 +1568,7 @@ QUERIES = {
     "emb_neardup": q_emb_neardup,
     "emb_topk_ivf": q_emb_topk_ivf,
     "events_dedup": q_events_dedup,
+    "salted_counts": q_salted_counts,
     "routed_membership": q_routed_membership,
     "ngram_membership": q_ngram_membership,
     "streaming_ndv": q_streaming_ndv,
@@ -1595,6 +1615,7 @@ ORACLES = {
     "emb_neardup": SQL_EMB_NEARDUP,
     "emb_topk_ivf": SQL_EMB_TOPK_IVF,
     "events_dedup": SQL_EVENTS_DEDUP,
+    "salted_counts": SQL_SALTED_COUNTS,
     "routed_membership": SQL_ROUTED_MEMBERSHIP,
     "ngram_membership": SQL_NGRAM_MEMBERSHIP,
     "streaming_ndv": SQL_STREAMING_NDV,

@@ -124,3 +124,31 @@ def test_distributed_build_all_configs(spark, corpus):
                               entries_per_bucket=epb, bits_per_fp=bits)
         filt = build_filter(corpus, "tokens", params, num_partitions=4)
         assert filt.contains(probes).all(), (epb, bits)  # Zipf head present
+
+
+def test_pyarrow_build_splits_row_groups(spark, tmp_path):
+    """Single-file tables get row-group-level tasks: a 6-row-group file
+    builds the same answers as the generic path, and the split list
+    actually fans out past one task."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cuckoofilter_spark.operators.build import (
+        _num_row_groups,
+        build_filter,
+        build_filter_from_parquet,
+    )
+    from cuckoofilter_spark.params import CuckooParams
+
+    keys = np.arange(60_000, dtype=np.int64)
+    f = str(tmp_path / "one_file.parquet")
+    pq.write_table(pa.table({"k": keys}), f, row_group_size=10_000)
+    assert _num_row_groups(f) == 6
+
+    params = CuckooParams(max_table_size=130_000, bits_per_fp=16)
+    via_rg = build_filter_from_parquet(spark, f, "k", params)
+    via_jvm = build_filter(spark.read.parquet(f), "k", params, num_partitions=6)
+    probes = np.arange(0, 120_000, dtype=np.int64)
+    assert np.array_equal(via_rg.contains(probes), via_jvm.contains(probes))
+    assert via_rg.contains(keys).all()
