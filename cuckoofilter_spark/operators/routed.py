@@ -85,19 +85,28 @@ class RoutedCuckooFilter:
         )
         return cls(state, params, n_routes, dedup)
 
-    def persist(self, path: str) -> "RoutedCuckooFilter":
-        """Materialize the state table (parquet) — at production scale an
-        Iceberg table keyed by route, giving the query side partition
-        pruning on the route column."""
-        self.state.write.mode("overwrite").parquet(path)
+    def persist(self, path: str, partition_by_route: bool = True) -> "RoutedCuckooFilter":
+        """Materialize the state table as parquet PARTITIONED BY route
+        (the Iceberg-style layout): a probe job that touches a subset of
+        routes — point lookups, route-sliced audits — prunes every other
+        route's state at the scan instead of reading all blobs.  Pass
+        ``partition_by_route=False`` for a flat layout (tiny states where
+        per-partition file overhead dominates)."""
+        w = self.state.write.mode("overwrite")
+        if partition_by_route:
+            w = w.partitionBy("route")
+        w.parquet(path)
         spark = self.state.sparkSession
-        return RoutedCuckooFilter(spark.read.parquet(path), self.params,
-                                  self.n_routes, self.dedup)
+        return self.load(spark, path, self.params, self.n_routes, self.dedup)
 
     @classmethod
     def load(cls, spark: SparkSession, path: str, params: CuckooParams,
              n_routes: int, dedup: bool = True) -> "RoutedCuckooFilter":
-        return cls(spark.read.parquet(path), params, n_routes, dedup)
+        # partition-column inference types `route` as int — restore long so
+        # cogroup keys line up with the probe side's pmod(xxhash64) output
+        state = spark.read.parquet(path).withColumn(
+            "route", F.col("route").cast("long"))
+        return cls(state, params, n_routes, dedup)
 
     # -- probe -------------------------------------------------------------
     def contains(self, probes: DataFrame, col: str) -> DataFrame:

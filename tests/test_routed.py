@@ -111,3 +111,18 @@ def test_routed_delete_on_set_semantics_removes_membership(spark):
     rest = keys.filter(F.col("k") >= 1000)
     assert after.contains(rest, "k").filter(~F.col("member")).count() == 0
     after.state.unpersist()
+
+
+def test_partitioned_persist_prunes_routes(spark, routed, keys_df, tmp_path_factory):
+    """Route-partitioned state layout: probing is still exact, and a
+    route-sliced read prunes the other routes' files at the scan (the
+    Iceberg-style point-lookup path)."""
+    from cuckoofilter_spark.plans import read_schema_columns
+
+    path = str(tmp_path_factory.mktemp("routedp") / "state")
+    saved = routed.persist(path, partition_by_route=True)
+    assert saved.contains(keys_df, "k").filter(~F.col("member")).count() == 0
+    one = saved.state.filter(F.col("route") == 3)
+    # partition pruning: route is a partition column, not data read
+    assert "route" not in read_schema_columns(one)
+    assert one.count() == 1
