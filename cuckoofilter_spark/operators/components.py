@@ -35,6 +35,14 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
              .union(pairs.select(F.col("d2").alias("a"), F.col("d1").alias("b")))
              .distinct()
              .localCheckpoint(eager=True))
+    # size the per-round shuffles to the EDGE set, not the session default:
+    # post-LSH pair sets are orders of magnitude below the corpus, and a
+    # tiny label relation spread over many partitions pays per-round
+    # scheduling latency × iterations for nothing
+    n_edges = edges.count()
+    parts = max(1, min(edges.rdd.getNumPartitions(),
+                       int(n_edges // 100_000) + 1))
+    edges = edges.repartition(parts, "b").localCheckpoint(eager=True)
     labels = (edges.select(F.col("a").alias("node"))
               .distinct()
               .withColumn("comp", F.col("node")))
