@@ -1200,6 +1200,25 @@ def q_streaming_windowed_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from cuckoofilter_spark.streaming.windowed import windowed_distinct
 
+    # the whole computation happens inside this function, so pin the
+    # session tz for its duration: with any other tz the NTZ→LTZ cast
+    # shifts instants and day-window boundaries stop matching the
+    # oracle's naive date_trunc('day') (our own sessions are already UTC;
+    # this guards a driver-created session)
+    tz_key = "spark.sql.session.timeZone"
+    old_tz = spark.conf.get(tz_key)
+    spark.conf.set(tz_key, "UTC")
+    try:
+        return _windowed_ndv_utc(spark, sf_dir)
+    finally:
+        spark.conf.set(tz_key, old_tz)
+
+
+def _windowed_ndv_utc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from cuckoofilter_spark.streaming.windowed import windowed_distinct
+
     batch = T(spark, sf_dir, "events")
     stream = (spark.readStream.schema(batch.schema)
               .option("pathGlobFilter", "events.parquet").parquet(sf_dir))
