@@ -118,8 +118,12 @@ def q_cf_build_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
     contains = cf_contains_udf(spark, filt)
 
     members = T(spark, sf_dir, "lineitem").select("l_partkey").distinct()
-    n_keys = members.count()
-    n_found = members.filter(contains(F.col("l_partkey"))).count()
+    # one pass: total and found together (separate counts would recompute
+    # the distinct shuffle twice)
+    row = members.select(contains(F.col("l_partkey")).alias("m")).agg(
+        F.count("*").alias("n_keys"),
+        F.sum(F.col("m").cast("long")).alias("n_found")).collect()[0]
+    n_keys, n_found = int(row["n_keys"]), int(row["n_found"] or 0)
     negs = spark.range(NEG_LO, NEG_LO + NEG_N)
     n_fp = negs.filter(contains(F.col("id"))).count()
     return _bool_row(
@@ -284,8 +288,10 @@ def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
                          num_partitions=8)
     member_udf = register_sketch(spark, bloom, "q_bloom_member")
     members = cust.distinct()
-    n_keys = members.count()
-    n_found = members.filter(member_udf(F.col("o_custkey"))).count()
+    row = members.select(member_udf(F.col("o_custkey")).alias("m")).agg(
+        F.count("*").alias("n_keys"),
+        F.sum(F.col("m").cast("long")).alias("n_found")).collect()[0]
+    n_keys, n_found = int(row["n_keys"]), int(row["n_found"] or 0)
     negs = spark.range(NEG_LO, NEG_LO + NEG_N)
     n_fp = negs.filter(member_udf(F.col("id"))).count()
     return _bool_row(
@@ -560,6 +566,41 @@ SELECT md5(text) AS fingerprint,
        CAST(MIN(doc_id) AS BIGINT) AS keep_id,
        CAST(COUNT(*) AS BIGINT) AS cnt
 FROM documents GROUP BY md5(text)
+"""
+
+
+INGEST_SPLIT = 400  # docs below = existing corpus, above = incoming batch
+
+
+def q_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup — the streaming-corpus composition of the
+    membership filter: build the filter over the EXISTING corpus's exact
+    content hashes once (at production scale: the persisted filter.bin of
+    the whole 100 TB corpus), then admit only incoming docs whose content
+    is not already present (``membership_df(keep=False)`` — the
+    no-false-drop-of-duplicates direction: a duplicate can never slip in;
+    a genuinely new doc is wrongly dropped only at the ε FP rate, zero on
+    this deterministic corpus, so the result is exact vs the anti-join
+    oracle)."""
+    from cuckoofilter_spark.operators.kmers import build_string_filter, hashed_key
+    from cuckoofilter_spark.operators.membership import membership_df
+
+    docs = T(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < INGEST_SPLIT)
+    incoming = docs.filter(F.col("doc_id") >= INGEST_SPLIT)
+    params = _params_for(2 * INGEST_SPLIT)
+    filt = build_string_filter(corpus, "text", params, num_partitions=8)
+    kept = membership_df(spark, filt,
+                         incoming.withColumn("h", hashed_key("text")),
+                         "h", keep=False)
+    return kept.select("doc_id")
+
+
+SQL_INGEST_DEDUP = f"""
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id >= {INGEST_SPLIT}
+  AND NOT EXISTS (SELECT 1 FROM documents c
+                  WHERE c.doc_id < {INGEST_SPLIT} AND c.text = d.text)
 """
 
 
@@ -1587,6 +1628,7 @@ QUERIES = {
     "kll_quantiles_by_key": q_kll_quantiles_by_key,
     "tdigest_quantiles": q_tdigest_quantiles,
     "exact_dedup": q_exact_dedup,
+    "ingest_dedup": q_ingest_dedup,
     "token_stats": q_token_stats,
     "quality": q_quality,
     "lang_id": q_lang_id,
@@ -1634,6 +1676,7 @@ ORACLES = {
     "kll_quantiles_by_key": SQL_KLL_QUANTILES_BY_KEY,
     "tdigest_quantiles": _SQL_QUANTILES,
     "exact_dedup": SQL_EXACT_DEDUP,
+    "ingest_dedup": SQL_INGEST_DEDUP,
     "token_stats": SQL_TOKEN_STATS,
     "quality": SQL_QUALITY,
     "lang_id": SQL_LANG_ID,
