@@ -63,9 +63,21 @@ class RoutedCuckooFilter:
     # -- build -------------------------------------------------------------
     @classmethod
     def build(cls, df: DataFrame, col: str, params: CuckooParams,
-              n_routes: int = 64, dedup: bool = True) -> "RoutedCuckooFilter":
+              n_routes: int = 64, dedup: bool = True,
+              pre_dedup: bool = False) -> "RoutedCuckooFilter":
         """One shuffle by route; each route group builds its sub-filter.
-        ``params`` sizes each SUB-filter — size for ndv/n_routes keys."""
+        ``params`` sizes each SUB-filter — size for ndv/n_routes keys.
+
+        ``pre_dedup`` (dedup-semantics builds only): insert a map-side-
+        combined ``distinct()`` before the route shuffle.  The plain build
+        shuffles every OCCURRENCE; a Zipf token stream whose hottest key
+        repeats 10^6× then moves 10^6 copies of one 8-byte key.  With
+        pre-dedup the heavy shuffle carries only distinct keys (partial
+        dedup happens map-side inside the distinct aggregation), at the
+        cost of one extra shuffle of the distinct set — a win whenever the
+        duplication factor exceeds ~2, which is every real corpus.  Filter
+        answers are identical either way (set semantics)."""
+        assert not (pre_dedup and not dedup), "pre_dedup requires set semantics"
         ptuple = params.to_tuple()
 
         def build_route(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -78,8 +90,11 @@ class RoutedCuckooFilter:
             return pd.DataFrame({"route": [route], "blob": [serialize_filter(filt)],
                                  "n_keys": [filt.element_count]})
 
+        keyed = df.select(F.col(col))
+        if pre_dedup:
+            keyed = keyed.distinct()
         state = (
-            df.select(F.col(col), _route_col(col, n_routes))
+            keyed.select(F.col(col), _route_col(col, n_routes))
             .groupBy("route")
             .applyInPandas(build_route, schema=STATE_SCHEMA)
         )

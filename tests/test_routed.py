@@ -126,3 +126,20 @@ def test_partitioned_persist_prunes_routes(spark, routed, keys_df, tmp_path_fact
     # partition pruning: route is a partition column, not data read
     assert "route" not in read_schema_columns(one)
     assert one.count() == 1
+
+
+def test_pre_dedup_build_same_answers(spark):
+    """Map-side-deduped build = plain build on a duplicate-heavy (Zipf-ish)
+    stream: identical membership answers, shuffle carries distinct keys."""
+    from pyspark.sql import functions as F
+
+    keys = (spark.range(0, 200_000)
+            .select(F.pmod(F.col("id") * F.col("id"), F.lit(5000)).alias("k")))
+    params = CuckooParams(max_table_size=2048, bits_per_fp=16)
+    plain = RoutedCuckooFilter.build(keys, "k", params, n_routes=8)
+    deduped = RoutedCuckooFilter.build(keys, "k", params, n_routes=8,
+                                       pre_dedup=True)
+    probes = spark.range(0, 10_000).select(F.col("id").alias("k"))
+    a = {r["k"]: r["member"] for r in plain.contains(probes, "k").collect()}
+    b = {r["k"]: r["member"] for r in deduped.contains(probes, "k").collect()}
+    assert a == b
