@@ -30,6 +30,18 @@ def _numeric_from_arrow(col) -> np.ndarray:
     return col.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
 
 
+def _strings_from_arrow(col) -> np.ndarray:
+    """Flatten an Arrow string (or list<string>) column to an object array
+    — for labeled sketches (top-k heavy hitters keep the actual keys)."""
+    import pyarrow as pa
+
+    if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+        col = col.flatten()
+    if col.null_count:
+        col = col.drop_null()
+    return col.to_numpy(zero_copy_only=False)
+
+
 def build_sketch(df: DataFrame, col: str, factory: Callable[[int], object],
                  fanin: int = 64, num_partitions: int | None = None,
                  values: str = "int"):
@@ -37,13 +49,15 @@ def build_sketch(df: DataFrame, col: str, factory: Callable[[int], object],
 
     ``factory(partition_id)`` returns a fresh sketch (seed partition-local
     randomness off the id).  ``values``: "int" for key sketches
-    (Bloom/HLL/CMS), "float" for quantile sketches (KLL/t-digest).
+    (Bloom/HLL/CMS), "float" for quantile sketches (KLL/t-digest),
+    "str" for labeled sketches (space-saving top-k).
     """
     import pyarrow as pa
 
     from cuckoofilter_spark.operators.build import _keys_from_arrow
 
-    extract = _keys_from_arrow if values == "int" else _numeric_from_arrow
+    extract = {"int": _keys_from_arrow, "float": _numeric_from_arrow,
+               "str": _strings_from_arrow}[values]
 
     def build_fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
         from pyspark import TaskContext

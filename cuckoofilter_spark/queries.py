@@ -402,6 +402,38 @@ SELECT CAST(TRUE AS BOOLEAN) AS inter_within_bound,
 """
 
 
+def q_topk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter DISCOVERY (space-saving / Misra–Gries,
+    sketches/spacesaving.py): one pass over the exploded corpus words
+    finds the frequent vocabulary with k labeled counters — no candidate
+    list needed (CMS's gap) and no corpus-wide groupBy at 10^12 tokens.
+    For each exact top-20 word the deterministic guarantee is gated:
+    present in the sketch, est ≤ true ≤ est + err."""
+    from cuckoofilter_spark.sketches.spacesaving import SpaceSavingSketch
+
+    docs = T(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    sk = build_sketch(words, "w", lambda pid: SpaceSavingSketch(k=4096),
+                      num_partitions=8, values="str")
+    top = (words.groupBy("w").agg(F.count("*").alias("true_cnt"))
+           .orderBy(F.desc("true_cnt"), F.asc("w")).limit(20).collect())
+    rows = []
+    for r in top:
+        est = sk.estimate(r["w"])
+        rows.append((r["w"], int(r["true_cnt"]),
+                     bool(0 < est <= r["true_cnt"] <= est + sk.err)))
+    return spark.createDataFrame(
+        rows, "w string, true_cnt long, present_and_bounded boolean")
+
+
+SQL_TOPK_WORDS = """
+SELECT w, CAST(COUNT(*) AS BIGINT) AS true_cnt,
+       CAST(TRUE AS BOOLEAN) AS present_and_bounded
+FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+GROUP BY w ORDER BY true_cnt DESC, w ASC LIMIT 20
+"""
+
+
 def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta-family set operations: the KMV bottom-k sample supports
     intersection by sample agreement below the shared threshold — error
@@ -1624,6 +1656,7 @@ QUERIES = {
     "hll_set_algebra": q_hll_set_algebra,
     "kmv_set_ops": q_kmv_set_ops,
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "topk_words": q_topk_words,
     "kll_quantiles": q_kll_quantiles,
     "kll_quantiles_by_key": q_kll_quantiles_by_key,
     "tdigest_quantiles": q_tdigest_quantiles,
@@ -1672,6 +1705,7 @@ ORACLES = {
     "hll_set_algebra": SQL_HLL_SET_ALGEBRA,
     "kmv_set_ops": SQL_KMV_SET_OPS,
     "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
+    "topk_words": SQL_TOPK_WORDS,
     "kll_quantiles": _SQL_QUANTILES,
     "kll_quantiles_by_key": SQL_KLL_QUANTILES_BY_KEY,
     "tdigest_quantiles": _SQL_QUANTILES,
