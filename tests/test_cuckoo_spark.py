@@ -152,3 +152,26 @@ def test_pyarrow_build_splits_row_groups(spark, tmp_path):
     probes = np.arange(0, 120_000, dtype=np.int64)
     assert np.array_equal(via_rg.contains(probes), via_jvm.contains(probes))
     assert via_rg.contains(keys).all()
+
+
+def test_distributed_build_all_reference_configs(spark):
+    """Every legal (entries_per_bucket, bits_per_fp) reference config
+    builds through the distributed path with zero false negatives and
+    in-bound FPR (the reference enforces exactly these five,
+    CF/cuckoo_table.h:150-168)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from cuckoofilter_spark.operators.build import build_filter
+    from cuckoofilter_spark.params import CuckooParams
+
+    keys = spark.range(0, 20_000).select(F.col("id").alias("k"))
+    probes = np.arange(0, 20_000, dtype=np.int64)
+    negs = np.arange(10_000_000, 10_050_000, dtype=np.int64)
+    for epb, bits in ((4, 4), (4, 8), (4, 12), (4, 16), (2, 32)):
+        params = CuckooParams(max_table_size=40_000, entries_per_bucket=epb,
+                              bits_per_fp=bits)
+        filt = build_filter(keys, "k", params, num_partitions=6)
+        assert filt.contains(probes).all(), (epb, bits)
+        fpr = filt.contains(negs).mean()
+        assert fpr <= max(params.fpr_bound, 3 / len(negs)) * 3, (epb, bits, fpr)

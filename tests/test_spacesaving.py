@@ -69,3 +69,32 @@ def test_distributed_build_over_words(spark, sf01_dir):
         est = s.estimate(w)
         assert est <= t <= est + s.err, (w, est, t, s.err)
         assert est > 0
+
+
+def test_streaming_topk_matches_batch_guarantee(spark, tmp_path):
+    """SpaceSaving rides the streaming foreachBatch builder unchanged
+    (one sketch protocol): after consuming the stream, every batch-exact
+    top word satisfies the est <= true <= est + err guarantee."""
+    from pyspark.sql import functions as F
+
+    from cuckoofilter_spark.streaming.incremental import StreamingSketchBuilder
+
+    src = str(tmp_path / "words_src")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    words.repartition(3).write.parquet(src)
+    batch = spark.read.parquet(src)
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    b = StreamingSketchBuilder(lambda pid: SpaceSavingSketch(k=4096), "w",
+                               state_dir=str(tmp_path / "ss_state"),
+                               values="str")
+    q = (b.attach(stream).option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    exact = {r["w"]: r["c"] for r in
+             batch.groupBy("w").agg(F.count("*").alias("c"))
+             .orderBy(F.desc("c"), F.asc("w")).limit(20).collect()}
+    for w, t in exact.items():
+        est = b.sketch.estimate(w)
+        assert 0 < est <= t <= est + b.sketch.err
