@@ -202,7 +202,14 @@ def build_filter_from_parquet(spark, path: str, col: str, params: CuckooParams,
     if len(files) < par:
         splits = []
         for fid, f in enumerate(files):
-            splits.extend((fid, rg) for rg in range(_num_row_groups(f)))
+            nrg = _num_row_groups(f)
+            if nrg == 0:
+                # metadata-only file (0 row groups): keep one whole-file
+                # split so the task list is never empty and spark.range
+                # never sees numPartitions=0
+                splits.append((fid, -1))
+            else:
+                splits.extend((fid, rg) for rg in range(nrg))
     else:
         splits = [(fid, -1) for fid in range(len(files))]  # -1 = whole file
     bc_files = spark.sparkContext.broadcast(files)
@@ -277,9 +284,11 @@ def _list_parquet_files(path: str) -> list[str]:
         pafs.LocalFileSystem(), os.path.abspath(path))
     info = filesystem.get_file_info(rel)
     if info.type == pafs.FileType.File:
-        return [path]
+        # local paths go back absolute: executors re-open them and must not
+        # depend on sharing the driver's cwd (only true in local mode)
+        return [path if "://" in path else os.path.abspath(path)]
     sel = pafs.FileSelector(rel, recursive=True, allow_not_found=True)
-    prefix = path.rstrip("/")
+    prefix = path.rstrip("/") if "://" in path else rel.rstrip("/")
     out = []
     for f in filesystem.get_file_info(sel):
         name = f.base_name

@@ -8,11 +8,14 @@ every pair over-deletes chains: A–B, B–C must keep exactly one of
 
 Algorithm: iterative min-label propagation (the DataFrame form of
 hash-to-min, cf. Kiveris et al. "Connected Components in MapReduce",
-SoCC'14).  Each round every node adopts the minimum label among itself
-and its neighbors; convergence in O(diameter) rounds — near-dup clusters
-are short chains, so a handful of rounds in practice (`max_iter` bounds
-the worst case; the loop exits early on fixpoint via a count of changed
-labels).  Each round is one join + one groupBy-min (both map-side
+SoCC'14) with a POINTER-JUMPING hop each round (comp ← comp's own comp),
+which squares the propagation distance per round — convergence in
+O(log diameter) rounds, so ``max_iter=20`` covers diameters up to ~2^20
+(plain neighbor propagation needs O(diameter) rounds and would silently
+mislabel chains longer than max_iter).  The loop exits early on fixpoint
+via a count of changed labels and RAISES if the budget is exhausted
+before the fixpoint — wrong component labels must never be returned
+silently.  Each round is two joins + one groupBy-min (all map-side
 combinable); lineage is truncated with ``localCheckpoint`` so the plan
 doesn't grow with iterations.
 
@@ -46,17 +49,30 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     labels = (edges.select(F.col("a").alias("node"))
               .distinct()
               .withColumn("comp", F.col("node")))
+    changed = None
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges["b"] == labels["node"])
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        new_labels = (
+        stepped = (
             labels.join(nbr_min, "node", "left")
             .select("node",
                     F.least(F.col("comp"),
                             F.coalesce(F.col("nbr_comp"), F.col("comp")))
+                    .alias("comp"))
+        )
+        # pointer jump: comp ← label(comp).  comp is always a node id in the
+        # labels relation (labels only ever shrink toward reachable minima),
+        # so the hop is label-preserving and squares propagation distance.
+        jump = stepped.select(F.col("node").alias("jn"),
+                              F.col("comp").alias("jc"))
+        new_labels = (
+            stepped.join(jump, stepped["comp"] == jump["jn"], "left")
+            .select("node",
+                    F.least(F.col("comp"),
+                            F.coalesce(F.col("jc"), F.col("comp")))
                     .alias("comp"))
             .localCheckpoint(eager=True)
         )
@@ -66,6 +82,10 @@ def connected_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed not in (0, None):
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — raise max_iter")
     return labels.select("node", "comp")
 
 

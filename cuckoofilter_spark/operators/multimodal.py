@@ -35,12 +35,13 @@ FEATURES_SCHEMA = f"media_id long, media_type string, features array<float>, n_b
 
 def _stub_decode(payload: bytes, media_type: str) -> np.ndarray:
     """Deterministic stand-in for a real decoder: a stable pseudo-feature
-    vector seeded from the payload digest.  Raises for strict mode via
-    `extract_features(..., decode="strict")`."""
-    seed = np.frombuffer(
-        np.array([hash(payload[:256]) & 0x7FFFFFFF], dtype=np.int64).tobytes(),
-        dtype=np.uint32)[0]
-    rng = np.random.default_rng(int(seed))
+    vector seeded from a CONTENT digest (crc32) — a pure function of the
+    payload bytes, identical across processes regardless of
+    PYTHONHASHSEED (Python's ``hash()`` is per-process salted).  Raises
+    for strict mode via `extract_features(..., decode="strict")`."""
+    import zlib
+
+    rng = np.random.default_rng(zlib.crc32(payload[:256]))
     return rng.standard_normal(FEATURE_DIM).astype(np.float32)
 
 

@@ -64,7 +64,7 @@ class RoutedCuckooFilter:
     @classmethod
     def build(cls, df: DataFrame, col: str, params: CuckooParams,
               n_routes: int = 64, dedup: bool = True,
-              pre_dedup: bool = False) -> "RoutedCuckooFilter":
+              pre_dedup: bool | None = None) -> "RoutedCuckooFilter":
         """One shuffle by route; each route group builds its sub-filter.
         ``params`` sizes each SUB-filter — size for ndv/n_routes keys.
 
@@ -76,7 +76,12 @@ class RoutedCuckooFilter:
         dedup happens map-side inside the distinct aggregation), at the
         cost of one extra shuffle of the distinct set — a win whenever the
         duplication factor exceeds ~2, which is every real corpus.  Filter
-        answers are identical either way (set semantics)."""
+        answers are identical either way (set semantics), so it DEFAULTS
+        ON whenever set semantics are requested (``None`` → ``dedup``);
+        pass ``pre_dedup=False`` explicitly for near-unique key streams
+        where the extra aggregation buys nothing."""
+        if pre_dedup is None:
+            pre_dedup = dedup
         assert not (pre_dedup and not dedup), "pre_dedup requires set semantics"
         ptuple = params.to_tuple()
 

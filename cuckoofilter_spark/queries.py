@@ -19,6 +19,8 @@ Reference parity notes cite /root/reference file:line in each docstring.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1563,7 +1565,9 @@ WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1)
 """
 
 
-FASTA_PATH = "/root/reference/Data/ecoli_small.fna"
+#: overridable so the suite isn't coupled to this host's reference checkout
+FASTA_PATH = os.environ.get("SPARK_GRAFT_FASTA",
+                            "/root/reference/Data/ecoli_small.fna")
 FASTA_K = 10
 
 
@@ -1592,10 +1596,16 @@ def q_fasta_kmers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmers.filter(contains(F.col("kmer")))
 
 
+# the oracle reproduces parse_fasta's VERBATIM semantics (matching the
+# reference reader, FASTA/fasta_reader.cpp:50-60): drop everything up to and
+# including the first '>' header line, then concatenate every later line —
+# including later '>' lines — so impl and oracle agree on multi-record files
 SQL_FASTA_KMERS = f"""
-WITH f AS (SELECT content FROM read_text('{FASTA_PATH}')),
-s AS (SELECT list_aggregate(list_filter(string_split(content, chr(10)),
-        x -> x <> '' AND substr(x, 1, 1) <> '>'), 'string_agg', '') AS seq FROM f)
+WITH f AS (SELECT string_split(content, chr(10)) AS ls
+           FROM read_text('{FASTA_PATH}')),
+h AS (SELECT ls, list_position(list_transform(ls, x -> substr(x, 1, 1) = '>'),
+                               TRUE) AS hi FROM f),
+s AS (SELECT list_aggregate(ls[hi+1:], 'string_agg', '') AS seq FROM h)
 SELECT DISTINCT unnest(list_transform(range(1, length(seq) - {FASTA_K} + 2),
                                       i -> substr(seq, i, {FASTA_K}))) AS kmer
 FROM s

@@ -83,8 +83,15 @@ def hash_kmer_batch(kmers: "np.ndarray | list[str]", k: int) -> np.ndarray:
     joined = "".join(kmers).encode("utf-8")
     flat = np.frombuffer(joined, dtype=np.uint8)
     if len(flat) != k * len(kmers):
-        # non-ASCII fallback (never hit for ACGT alphabets)
-        return np.array([kmer_hashes(s, k)[0] for s in kmers], dtype=np.uint64)
+        # non-ASCII / ragged-length fallback (never hit for ACGT alphabets):
+        # strings shorter than k have no k-window — emit sentinel hash 0
+        # instead of crashing on an empty window array
+        out = np.zeros(len(kmers), dtype=np.uint64)
+        for i, s in enumerate(kmers):
+            h = kmer_hashes(s, k)
+            if len(h):
+                out[i] = h[0]
+        return out
     win = flat.reshape(len(kmers), k).astype(np.uint64)
     acc = np.zeros(len(kmers), dtype=np.uint64)
     with np.errstate(over="ignore"):
@@ -175,8 +182,12 @@ def cf_contains_kmer_udf(spark: SparkSession, filt: DynamicCuckooFilter,
     @pandas_udf("boolean")
     def contains(kmers: pd.Series) -> pd.Series:
         f = _get_filter(bc.value)
-        vals = kmers.fillna("").to_numpy()
+        # NULLs and wrong-length strings are never k-mers → never members;
+        # substitute a k-length placeholder so one bad row doesn't knock the
+        # whole batch off the concatenate-and-reshape fast path
+        valid = (kmers.notna() & (kmers.str.len() == k)).to_numpy()
+        vals = kmers.where(valid, "\x00" * k).to_numpy()
         h = hash_kmer_batch(vals, k).astype(np.int64)
-        return pd.Series(f.contains(h))
+        return pd.Series(f.contains(h) & valid)
 
     return contains

@@ -54,19 +54,31 @@ class StreamingSketchBuilder:
     def _blob_path(self) -> str:
         return os.path.join(self.state_dir, "sketch.bin")
 
+    #: state-file format marker: magic+version first, so a blob written by a
+    #: different (or pre-versioning) format fails with a clear error instead
+    #: of having its first bytes silently misread as a batch id
+    _STATE_MAGIC = b"CFSKST01"
+
     def _load(self):
         if os.path.exists(self._blob_path):
             with open(self._blob_path, "rb") as f:
                 raw = f.read()
+            if raw[:8] != self._STATE_MAGIC:
+                raise ValueError(
+                    f"unrecognized sketch-state format in {self._blob_path!r}"
+                    f" (magic {raw[:8]!r}, expected {self._STATE_MAGIC!r}) — "
+                    "the state dir holds a blob from an incompatible version;"
+                    " delete it to start fresh")
             # 8-byte little-endian last-committed batch id, then the blob —
             # one file so id+sketch commit atomically (single os.replace)
-            bid = int.from_bytes(raw[:8], "little", signed=True)
-            return deserialize_sketch(raw[8:]), bid
+            bid = int.from_bytes(raw[8:16], "little", signed=True)
+            return deserialize_sketch(raw[16:]), bid
         return None, -1
 
     def _persist(self, batch_id: int) -> None:
         tmp = self._blob_path + ".tmp"
         with open(tmp, "wb") as f:
+            f.write(self._STATE_MAGIC)
             f.write(int(batch_id).to_bytes(8, "little", signed=True))
             f.write(serialize_sketch(self.sketch))
         os.replace(tmp, self._blob_path)

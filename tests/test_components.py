@@ -51,3 +51,26 @@ def test_components_random_graph(spark):
     comps = {r["comp"] for r in reps}
     keepers = {r["node"] for r in reps if r["keep"]}
     assert keepers == comps  # exactly one keeper per component: its min
+
+
+def test_long_chain_converges_via_pointer_jumping(spark):
+    """A diameter-63 chain needs ~63 plain-propagation rounds; pointer
+    jumping must close it well inside the default budget."""
+    from cuckoofilter_spark.operators.components import connected_components
+
+    pairs = [(i, i + 1) for i in range(63)]
+    df = spark.createDataFrame(pairs, "d1 long, d2 long")
+    got = {r["node"]: r["comp"]
+           for r in connected_components(df, max_iter=10).collect()}
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_nonconvergence_raises_instead_of_mislabeling(spark):
+    """Exhausting max_iter before the fixpoint must raise — silently wrong
+    component labels would poison every downstream dedup decision."""
+    from cuckoofilter_spark.operators.components import connected_components
+
+    pairs = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(pairs, "d1 long, d2 long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=1)

@@ -99,3 +99,48 @@ def test_delete_all_restores_empty(spark, fasta_filter):
     ok = f.delete(h)
     assert ok.all()
     assert f.element_count == 0
+
+
+def test_kmer_probe_handles_null_and_short_strings(spark, fasta_filter):
+    """NULL / wrong-length probes answer False (a non-k-length string is
+    not a k-mer) instead of crashing the batch (ADVICE r2)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    filt, _ = fasta_filter
+    contains = cf_contains_kmer_udf(spark, filt, K)
+    _, seq = parse_fasta(open(FNA).read())
+    rows = [(seq[:K],), (None,), ("ACG",), ("",), (seq[:K + 3],), (seq[5:5 + K],)]
+    df = spark.createDataFrame(rows, StructType([StructField("kmer", StringType())]))
+    got = [r["m"] for r in
+           df.select(contains(F.col("kmer")).alias("m")).collect()]
+    assert got == [True, False, False, False, False, True]
+
+
+def test_hash_kmer_batch_short_strings_no_crash():
+    out = hash_kmer_batch(["ACG", "", "ACGTACGTAC"], 10)
+    assert out.shape == (3,)
+    assert out[2] == kmer_hashes("ACGTACGTAC", 10)[0]
+
+
+def test_multi_record_fasta_matches_oracle_semantics(tmp_path):
+    """parse_fasta's verbatim concatenation (reference fasta_reader.cpp
+    semantics: later '>' lines are sequence bytes) must equal the DuckDB
+    oracle's slicing on a MULTI-record file (ADVICE r2)."""
+    import duckdb
+
+    fna = tmp_path / "multi.fna"
+    fna.write_text(">rec1\nACGTACGTACGT\nTTAACCGG\n>rec2\nGGGCCCAAATTT\n")
+    _, seq = parse_fasta(fna.read_text())
+    impl = sorted(set(kmer_strings(seq, K)))
+    sql = f"""
+    WITH f AS (SELECT string_split(content, chr(10)) AS ls
+               FROM read_text('{fna}')),
+    h AS (SELECT ls, list_position(list_transform(ls,
+                 x -> substr(x, 1, 1) = '>'), TRUE) AS hi FROM f),
+    s AS (SELECT list_aggregate(ls[hi+1:], 'string_agg', '') AS seq FROM h)
+    SELECT DISTINCT unnest(list_transform(range(1, length(seq) - {K} + 2),
+                                          i -> substr(seq, i, {K}))) AS kmer
+    FROM s ORDER BY kmer
+    """
+    oracle = [r[0] for r in duckdb.sql(sql).fetchall()]
+    assert impl == oracle

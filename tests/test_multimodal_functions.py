@@ -146,3 +146,24 @@ def test_resize_media_plumbing(spark):
     assert all(bytes(r["payload"]) == again[r["media_id"]] for r in out)
     with pytest.raises(Exception, match="NotImplementedError|resampler"):
         resize_media(docs, 8, 8, decode="strict").collect()
+
+
+def test_stub_features_identical_across_processes():
+    """Feature determinism must not depend on PYTHONHASHSEED propagation:
+    the stub seeds from a content digest, so two fresh interpreters with
+    different hash seeds emit identical vectors (VERDICT r2)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    prog = ("import json, sys; sys.path.insert(0, '/root/repo'); "
+            "from cuckoofilter_spark.operators.multimodal import _stub_decode; "
+            "print(json.dumps(_stub_decode(b'payload-bytes-42', 'image').tolist()))")
+    outs = []
+    for seed in ("1", "1337"):
+        env = dict(os.environ, PYTHONHASHSEED=seed)
+        outs.append(json.loads(subprocess.run(
+            [sys.executable, "-c", prog], capture_output=True, text=True,
+            check=True, env=env).stdout))
+    assert outs[0] == outs[1] and len(outs[0]) == 32

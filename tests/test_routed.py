@@ -136,9 +136,9 @@ def test_pre_dedup_build_same_answers(spark):
     keys = (spark.range(0, 200_000)
             .select(F.pmod(F.col("id") * F.col("id"), F.lit(5000)).alias("k")))
     params = CuckooParams(max_table_size=2048, bits_per_fp=16)
-    plain = RoutedCuckooFilter.build(keys, "k", params, n_routes=8)
-    deduped = RoutedCuckooFilter.build(keys, "k", params, n_routes=8,
-                                       pre_dedup=True)
+    plain = RoutedCuckooFilter.build(keys, "k", params, n_routes=8,
+                                     pre_dedup=False)
+    deduped = RoutedCuckooFilter.build(keys, "k", params, n_routes=8)  # auto-on
     probes = spark.range(0, 10_000).select(F.col("id").alias("k"))
     a = {r["k"]: r["member"] for r in plain.contains(probes, "k").collect()}
     b = {r["k"]: r["member"] for r in deduped.contains(probes, "k").collect()}

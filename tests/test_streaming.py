@@ -232,3 +232,20 @@ def test_streaming_dedup_by_key(spark, tmp_path):
     # every distinct key passes except FP drops (<= ~3*eps*n + slack)
     assert len(seen) <= n_exact
     assert len(seen) >= n_exact - max(3, int(3 * eps * n_exact))
+
+
+def test_unversioned_state_blob_fails_loudly(tmp_path):
+    """A state file without the magic marker (pre-versioning format or
+    corruption) must raise a clear format error, not misparse its first
+    bytes as a batch id (ADVICE r2)."""
+    import pytest
+
+    from cuckoofilter_spark.sketches.hll import HyperLogLog
+    from cuckoofilter_spark.streaming.incremental import StreamingSketchBuilder
+
+    state = tmp_path / "st"
+    state.mkdir()
+    (state / "sketch.bin").write_bytes(b"\x03\x00\x00\x00\x00\x00\x00\x00junk")
+    with pytest.raises(ValueError, match="unrecognized sketch-state format"):
+        StreamingSketchBuilder(lambda pid: HyperLogLog(p=10), "v",
+                               state_dir=str(state))
