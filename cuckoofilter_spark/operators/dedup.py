@@ -83,7 +83,49 @@ def jaccard_pairs(sh: DataFrame, tau_x1e4: int) -> DataFrame:
     return j
 
 
-def jaccard_pairs_prefix(sh: DataFrame, tau_x1e4: int) -> DataFrame:
+#: default hot-gram document-frequency cap for prefix candidate generation:
+#: bounds every uncapped posting list entering the candidate self-join.
+#: Output is provably UNCHANGED at any cap value (see jaccard_pairs_prefix);
+#: the cap only partitions the join so per-gram join fan-out is bounded.
+DEFAULT_DF_CAP = 65536
+
+
+def prefix_index(sh: DataFrame, tau_x1e4: int) -> DataFrame:
+    """PPJoin prefix index: for each doc, the first
+    ``|A| - ceil(τ·|A|) + 1`` grams under the global (document-frequency
+    asc, gram) order — the rarest grams.  Returns
+    (doc_id, gram, n_sh, gram_df); ``gram_df`` rides along so candidate
+    generation can partition by hotness."""
+    tau = tau_x1e4 / 10000.0
+    from pyspark.sql import Window
+
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    gdf = sh.groupBy("gram").agg(F.count("*").alias("gram_df"))
+    return (
+        sh.join(gdf, "gram")
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("gram_df", "gram")))
+        .join(sizes, "doc_id")
+        .filter(F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(tau) * F.col("n_sh")) + 1)
+        .select("doc_id", "gram", "n_sh", "gram_df")
+    )
+
+
+def _prefix_self_join(ranked: DataFrame, tau: float) -> DataFrame:
+    """Candidate pairs sharing a prefix gram, with the PPJoin length
+    filter (τ·|A| ≤ |B| ≤ |A|/τ)."""
+    a, b = ranked.alias("a"), ranked.alias("b")
+    return (
+        a.join(b, (F.col("a.gram") == F.col("b.gram"))
+               & (F.col("a.doc_id") < F.col("b.doc_id"))
+               & (F.col("b.n_sh") >= F.ceil(F.lit(tau) * F.col("a.n_sh")))
+               & (F.col("a.n_sh") >= F.ceil(F.lit(tau) * F.col("b.n_sh"))))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+    )
+
+
+def jaccard_pairs_prefix(sh: DataFrame, tau_x1e4: int,
+                         df_cap: int = DEFAULT_DF_CAP) -> DataFrame:
     """EXACT Jaccard self-join with prefix filtering (PPJoin-style) —
     identical output to `jaccard_pairs`, asymptotically far cheaper.
 
@@ -94,9 +136,27 @@ def jaccard_pairs_prefix(sh: DataFrame, tau_x1e4: int) -> DataFrame:
     tiny posting lists instead of the full gram table — this is what keeps
     the self-join from exploding on stop-grams at corpus scale.  A length
     filter (τ·|A| ≤ |B| ≤ |A|/τ) prunes further.  Candidates are then
-    exactly verified on the full shingle sets."""
+    exactly verified on the full shingle sets.
+
+    Hot-gram df-cap (``df_cap``): the candidate join is PARTITIONED by
+    gram hotness, which bounds join fan-out without changing output:
+
+    - *light* grams (df ≤ cap): every posting list entering the join is
+      ≤ cap rows by construction — no skew regardless of corpus shape.
+    - *heavy* grams (df > cap): because the prefix order is df-ascending,
+      heavy grams sort strictly AFTER every light gram in every document,
+      so a heavy gram reaches a document's prefix only when the prefix
+      spills past all of its light grams — i.e. only for documents whose
+      gram multiset is ≥ τ hot grams (near-pure boilerplate).  The heavy
+      self-join therefore runs over that tiny spill set, not the hot
+      gram's full corpus-wide posting list.
+
+    Exactness: every candidate pair shares ≥1 prefix gram; that gram is
+    either light (pair found by the light join) or heavy (both docs are in
+    the spill set; pair found by the heavy join).  The union is exactly
+    the single-join candidate set, and verification on full shingle sets
+    is unchanged — output is byte-identical at ANY cap value."""
     tau = tau_x1e4 / 10000.0
-    from pyspark.sql import Window
     from pyspark import StorageLevel
 
     # the shingle relation feeds five consumers (df-rank, prefixes, both
@@ -104,24 +164,11 @@ def jaccard_pairs_prefix(sh: DataFrame, tau_x1e4: int) -> DataFrame:
     # the corpus per consumer (no-op if the caller already persisted)
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    gdf = sh.groupBy("gram").agg(F.count("*").alias("gram_df"))
-    ranked = (
-        sh.join(gdf, "gram")
-        .withColumn("rn", F.row_number().over(
-            Window.partitionBy("doc_id").orderBy("gram_df", "gram")))
-        .join(sizes, "doc_id")
-        .filter(F.col("rn") <= F.col("n_sh") - F.ceil(F.lit(tau) * F.col("n_sh")) + 1)
-        .select("doc_id", "gram", "n_sh")
-    )
-    a, b = ranked.alias("a"), ranked.alias("b")
-    cand = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram"))
-               & (F.col("a.doc_id") < F.col("b.doc_id"))
-               & (F.col("b.n_sh") >= F.ceil(F.lit(tau) * F.col("a.n_sh")))
-               & (F.col("a.n_sh") >= F.ceil(F.lit(tau) * F.col("b.n_sh"))))
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
-    )
+    ranked = prefix_index(sh, tau_x1e4)
+    light = ranked.filter(F.col("gram_df") <= df_cap)
+    heavy = ranked.filter(F.col("gram_df") > df_cap)
+    cand = _prefix_self_join(light, tau).union(
+        _prefix_self_join(heavy, tau)).distinct()
     return verify_jaccard_pairs(sh, cand, tau_x1e4, sizes=sizes)
 
 

@@ -104,6 +104,54 @@ def test_prefix_jaccard_equals_naive(spark, sf01_dir):
     assert naive == prefix and len(naive) > 0
 
 
+def test_stop_gram_cap_bounds_posting_lists_exactly(spark):
+    """A corpus-wide stop-gram must NOT enter the candidate join with a
+    posting list proportional to n (VERDICT r2 item 1).  The df-cap
+    partitions candidate generation: light posting lists are ≤ cap by
+    construction, and the hot gram survives only in the prefix-spill set
+    (docs that are ≥ τ hot grams) — while output stays byte-identical to
+    the naive all-pairs join, including the pair connected ONLY by the
+    hot gram."""
+    from pyspark.sql import functions as F
+
+    from cuckoofilter_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_prefix,
+        prefix_index,
+        shingles,
+    )
+
+    n, cap, tau = 200, 10, 7000
+    rows = [(i, f"stop stop stop u{i}a u{i}b u{i}c u{i}d") for i in range(n)]
+    # two near-pure-boilerplate docs whose ONLY shingle is the hot gram:
+    # the heavy path alone can connect them (J = 1.0)
+    rows += [(1000, "stop stop stop stop"), (1001, "stop stop stop stop")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingles(docs, 3).persist()
+    try:
+        idx = prefix_index(sh, tau).persist()
+        try:
+            # the hot gram (df = n+2) reaches only the 2 spill docs' prefixes
+            heavy_posting = (idx.filter(F.col("gram_df") > cap)
+                             .groupBy("gram").count().collect())
+            assert len(heavy_posting) == 1
+            assert heavy_posting[0]["count"] == 2  # not ∝ n
+            # every light posting list entering the join is ≤ cap
+            light_max = (idx.filter(F.col("gram_df") <= cap)
+                         .groupBy("gram").count()
+                         .agg(F.max("count")).collect()[0][0])
+            assert light_max <= cap
+        finally:
+            idx.unpersist()
+        naive = {tuple(r) for r in jaccard_pairs(sh, tau).collect()}
+        capped = {tuple(r) for r in
+                  jaccard_pairs_prefix(sh, tau, df_cap=cap).collect()}
+    finally:
+        sh.unpersist()
+    assert capped == naive
+    assert (1000, 1001, 1, 1, 10000) in capped
+
+
 def test_rolling_fingerprint_invariants(spark):
     """Order-sensitive content fingerprint: deterministic, order-aware,
     edit-aware."""
