@@ -81,6 +81,38 @@ def _flat_ngram_hashes(ends: np.ndarray, values: np.ndarray, n: int) -> np.ndarr
     return acc[valid]
 
 
+def _batch_ngram_hashes(colarr, n: int) -> np.ndarray:
+    """All stride-1 n-gram hashes of one Arrow ListArray batch (boundary-
+    masked flat kernel) — shared by the build and probe paths."""
+    if colarr.null_count:
+        colarr = colarr.fill_null([])
+    raw_off = colarr.offsets.to_numpy(zero_copy_only=False)
+    # a sliced ListArray keeps absolute offsets into the full child
+    # buffer — trim values and rebase ends to the slice
+    values = colarr.values.to_numpy(zero_copy_only=False)[raw_off[0]:raw_off[-1]]
+    ends = (raw_off[1:] - raw_off[0]).astype(np.int64)
+    if not len(values):
+        return np.empty(0, dtype=np.uint64)
+    return _flat_ngram_hashes(ends, values, n)
+
+
+def ngram_hash_df(df: DataFrame, col: str, n: int) -> DataFrame:
+    """Enumerate every row's stride-1 n-gram hashes IN-PLAN: one
+    ``mapInArrow`` over the array column with the same flat kernel the
+    distributed build uses — no explode, no driver round-trip.  Returns a
+    single-column relation ``h: long`` (one row per window) suitable for
+    probing through ``cf_contains_udf``."""
+    import pyarrow as pa
+
+    def fn(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for b in batches:
+            hashes = _batch_ngram_hashes(b.column(0), n)
+            yield pa.record_batch(
+                {"h": pa.array(hashes.astype(np.int64), pa.int64())})
+
+    return df.select(col).mapInArrow(fn, "h long")
+
+
 def build_ngram_filter(df: DataFrame, col: str, n: int, params: CuckooParams,
                        fanin: int = 8, dedup: bool = True) -> DynamicCuckooFilter:
     """Distributed n-gram membership filter over an array<int> column —
@@ -102,16 +134,7 @@ def build_ngram_filter(df: DataFrame, col: str, n: int, params: CuckooParams,
         n_rows = 0
         n_items = 0
         for b in batches:
-            colarr = b.column(0)
-            if colarr.null_count:
-                colarr = colarr.fill_null([])
-            raw_off = colarr.offsets.to_numpy(zero_copy_only=False)
-            # a sliced ListArray keeps absolute offsets into the full child
-            # buffer — trim values and rebase ends to the slice
-            values = colarr.values.to_numpy(zero_copy_only=False)[raw_off[0]:raw_off[-1]]
-            ends = (raw_off[1:] - raw_off[0]).astype(np.int64)
-            hashes = _flat_ngram_hashes(ends, values, n) \
-                if len(values) else np.empty(0, dtype=np.uint64)
+            hashes = _batch_ngram_hashes(b.column(0), n)
             n_rows += b.num_rows
             n_items += len(hashes)
             if len(hashes):

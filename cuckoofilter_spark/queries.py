@@ -1160,8 +1160,15 @@ def q_ngram_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-mer-style n-gram membership (FASTA workload, SURVEY §3.2): build
     the filter over every word 3-gram of the corpus (token-ized via
     xxhash64 word codes), probe the distinct 3-grams of the first 50
-    documents — all true members → exact vs the SQL distinct count."""
-    from cuckoofilter_spark.operators.kmers import build_ngram_filter, ngram_hashes
+    documents — all true members → exact vs the SQL distinct count.
+
+    The probe phase stays IN Spark end-to-end: probe hashes are
+    enumerated with the same mapInArrow window kernel the build uses
+    (``ngram_hash_df``) and answered through the broadcast
+    ``cf_contains_udf`` — no document text or probe set ever visits the
+    driver; only the final 1-row aggregate is collected."""
+    from cuckoofilter_spark.operators.kmers import build_ngram_filter, ngram_hash_df
+    from cuckoofilter_spark.operators.membership import cf_contains_udf
 
     docs = T(spark, sf_dir, "documents")
     toks = docs.select(
@@ -1172,16 +1179,17 @@ def q_ngram_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     params = CuckooParams(max_table_size=1 << 17, bits_per_fp=16)
     filt = build_ngram_filter(toks, "tokens", n=3, params=params)
 
-    head = toks.filter(F.col("doc_id") < 50).collect()
-    probe = set()
-    for r in head:
-        probe.update(ngram_hashes(np.asarray(r["tokens"], dtype=np.int64), 3).tolist())
-    probes = np.fromiter(probe, dtype=np.uint64).astype(np.int64)
-    n_found = int(filt.contains(probes).sum())
+    contains = cf_contains_udf(spark, filt)
+    probes = ngram_hash_df(toks.filter(F.col("doc_id") < 50), "tokens", 3).distinct()
+    agg = probes.agg(
+        F.count("*").alias("n_probes"),
+        F.sum(F.when(contains(F.col("h")), 1).otherwise(0)).alias("n_found"),
+    ).collect()[0]
+    n_probes, n_found = int(agg["n_probes"]), int(agg["n_found"] or 0)
     return _bool_row(
         spark,
-        n_probes=len(probes), n_found=n_found,
-        zero_false_negatives=(n_found == len(probes)),
+        n_probes=n_probes, n_found=n_found,
+        zero_false_negatives=(n_found == n_probes),
     )
 
 

@@ -152,6 +152,27 @@ def test_stop_gram_cap_bounds_posting_lists_exactly(spark):
     assert (1000, 1001, 1, 1, 10000) in capped
 
 
+def test_ngram_membership_probe_stays_distributed(spark, sf_dir, monkeypatch):
+    """VERDICT r2 item 3: the membership gate query may collect scalar
+    aggregates / the 1-row verdict, but never documents or probe sets —
+    every collect in its body must return a handful of rows."""
+    from pyspark.sql import DataFrame
+
+    from cuckoofilter_spark.queries import q_ngram_membership
+
+    orig = DataFrame.collect
+
+    def guarded(self):
+        rows = orig(self)
+        assert len(rows) <= 4, (
+            f"q_ngram_membership collected {len(rows)} rows to the driver")
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", guarded)
+    out = orig(q_ngram_membership(spark, sf_dir))
+    assert len(out) == 1 and out[0]["zero_false_negatives"] is True
+
+
 def test_rolling_fingerprint_invariants(spark):
     """Order-sensitive content fingerprint: deterministic, order-aware,
     edit-aware."""
