@@ -1395,6 +1395,47 @@ FROM events
 """
 
 
+def q_streaming_topk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter discovery over an unbounded stream: the space-saving
+    sketch rides the shared streaming protocol
+    (``StreamingSketchBuilder`` foreachBatch — per-partition build →
+    tree merge → fold into the checkpointed running sketch, the same
+    create/update/merge/serialize monoid every sketch uses).  Gate
+    mirrors ``topk_words``: every exact top-20 word is present in the
+    streamed sketch with est ≤ true ≤ est + err — the deterministic
+    space-saving guarantee, insensitive to micro-batch arrival order."""
+    import tempfile
+
+    from cuckoofilter_spark.sketches.spacesaving import SpaceSavingSketch
+    from cuckoofilter_spark.streaming.incremental import StreamingSketchBuilder
+
+    batch = T(spark, sf_dir, "documents")
+    stream = (spark.readStream.schema(batch.schema)
+              .option("pathGlobFilter", "documents.parquet").parquet(sf_dir))
+    wcol = F.explode(F.split("text", " ")).alias("w")
+    with tempfile.TemporaryDirectory() as tmp:
+        b = StreamingSketchBuilder(
+            lambda pid: SpaceSavingSketch(k=4096), "w",
+            state_dir=os.path.join(tmp, "state"), values="str")
+        q = (b.attach(stream.select(wcol))
+             .option("checkpointLocation", os.path.join(tmp, "ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        sk = b.sketch
+    top = (batch.select(wcol).groupBy("w").agg(F.count("*").alias("true_cnt"))
+           .orderBy(F.desc("true_cnt"), F.asc("w")).limit(20).collect())
+    rows = []
+    for r in top:
+        est = sk.estimate(r["w"])
+        rows.append((r["w"], int(r["true_cnt"]),
+                     bool(0 < est <= r["true_cnt"] <= est + sk.err)))
+    return spark.createDataFrame(
+        rows, "w string, true_cnt long, present_and_bounded boolean")
+
+
+SQL_STREAMING_TOPK_WORDS = SQL_TOPK_WORDS
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) via window functions —
     lag + cumulative sum of session starts per user.  Exact."""
@@ -1701,6 +1742,7 @@ QUERIES = {
     "streaming_ndv": q_streaming_ndv,
     "streaming_windowed_ndv": q_streaming_windowed_ndv,
     "streaming_dedup": q_streaming_dedup,
+    "streaming_topk_words": q_streaming_topk_words,
     "events_sessionize": q_events_sessionize,
     "orders_rollup": q_orders_rollup,
     "orders_cube": q_orders_cube,
@@ -1750,6 +1792,7 @@ ORACLES = {
     "streaming_ndv": SQL_STREAMING_NDV,
     "streaming_windowed_ndv": SQL_STREAMING_WINDOWED_NDV,
     "streaming_dedup": SQL_STREAMING_DEDUP,
+    "streaming_topk_words": SQL_STREAMING_TOPK_WORDS,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "orders_rollup": SQL_ORDERS_ROLLUP,
     "orders_cube": SQL_ORDERS_CUBE,
