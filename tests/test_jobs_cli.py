@@ -25,6 +25,36 @@ def run_job(script: str, *args: str) -> dict:
     raise AssertionError(f"no JSON line in stdout: {out.stdout[-500:]}")
 
 
+def test_sketch_build_query_roundtrip(tmp_path, spark, sf_dir):
+    """The sketch library surface through spark-submit (VERDICT r2 item 9):
+    HLL NDV and KLL quantiles built distributed, written as self-describing
+    blobs, answered by the query job within their published bounds."""
+    hll_bin = str(tmp_path / "users_hll.bin")
+    built = run_job("build_sketch.py", "--input", f"{sf_dir}/orders.parquet",
+                    "--col", "o_custkey", "--sketch", "hll", "--out", hll_bin,
+                    "--p", "14")
+    exact = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+             .select("o_custkey").distinct().count())
+    assert abs(built["ndv_estimate"] - exact) / exact <= 3 * 1.04 / (1 << 14) ** 0.5
+
+    q = run_job("query_sketch.py", "--sketch-file", hll_bin)
+    assert q["sketch_type"] == "HyperLogLog"
+    assert q["ndv_estimate"] == built["ndv_estimate"]
+
+    kll_bin = str(tmp_path / "price_kll.bin")
+    run_job("build_sketch.py", "--input", f"{sf_dir}/orders.parquet",
+            "--col", "o_totalprice", "--sketch", "kll", "--out", kll_bin,
+            "--k", "400")
+    qq = run_job("query_sketch.py", "--sketch-file", kll_bin,
+                 "--quantiles", "0.1,0.5,0.9")
+    med = qq["quantiles"]["0.5"]
+    lo, hi = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .selectExpr("percentile(o_totalprice, 0.45) AS lo",
+                          "percentile(o_totalprice, 0.55) AS hi").collect()[0])
+    assert lo <= med <= hi  # KLL rank error << 5% at k=400
+    assert qq["quantiles"]["0.1"] <= med <= qq["quantiles"]["0.9"]
+
+
 def test_build_resume_query_roundtrip(tmp_path, spark, sf_dir):
     ckpt = str(tmp_path / "ckpt")
     outp = str(tmp_path / "members")

@@ -56,6 +56,24 @@ def test_topk_broadcasts_queries(spark, sf01_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_rank_filters_compile_to_window_group_limit(spark, sf01_dir):
+    """The rank-≤-k filter must compile to Spark 4's WindowGroupLimit so
+    each map task keeps only its partial top-k BEFORE the window shuffle —
+    without it the full scored relation shuffles (the docstring-claimed
+    pushdown in similarity.cosine_topk and the per-brand top-n query).  A
+    conf change disabling the rewrite must fail here, not silently
+    regress."""
+    from cuckoofilter_spark.operators.similarity import cosine_topk
+    from cuckoofilter_spark.plans import explain_str
+    from cuckoofilter_spark.queries import q_top_parts_per_brand
+
+    emb = spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
+    topk = cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    assert "WindowGroupLimit" in explain_str(topk, "simple")
+    brand = q_top_parts_per_brand(spark, sf01_dir)
+    assert "WindowGroupLimit" in explain_str(brand, "simple")
+
+
 def test_round_robin_exchange_counted_once(spark, sf_dir):
     """repartition(n) is ONE shuffle — the audit must not double-count
     RoundRobinPartitioning exchanges."""
