@@ -32,3 +32,30 @@ def test_read_table_forced_iceberg_raises_without_runtime(spark, sf_dir):
 def test_read_table_parquet_explicit(spark, sf_dir):
     df = read_table(spark, f"{sf_dir}/lineitem.parquet", fmt="parquet")
     assert df.count() > 0
+
+
+def test_iceberg_membership_end_to_end(spark, sf_dir, tmp_path):
+    """When the iceberg-spark-runtime jar IS present (deployments; not
+    this image — no network to fetch it, see NOTES_r3), build a real
+    hadoop-catalog table and run a membership build+probe against it.
+    Skips with the environment reason otherwise."""
+    if not iceberg_available(spark):
+        pytest.skip("no iceberg-spark-runtime jar in image (offline sandbox)")
+    from pyspark.sql import functions as F
+
+    from cuckoofilter_spark.operators.build import build_filter
+    from cuckoofilter_spark.operators.membership import membership_df
+    from cuckoofilter_spark.params import CuckooParams
+
+    spark.conf.set("spark.sql.catalog.local",
+                   "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.local.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.local.warehouse", str(tmp_path / "wh"))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.writeTo("local.db.orders").using("iceberg").createOrReplace()
+    tbl = read_table(spark, "local.db.orders", fmt="iceberg")
+    filt = build_filter(tbl.select("o_custkey"), "o_custkey",
+                        CuckooParams(max_table_size=65536))
+    probes = tbl.select(F.col("o_custkey").alias("k")).distinct()
+    n = membership_df(spark, filt, probes, "k").count()
+    assert n == probes.count()  # no false negatives through the iceberg scan
