@@ -41,12 +41,26 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # -- shingles + exact n-gram Jaccard ----------------------------------------
 
 def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """Distinct word n-gram shingles per document: (doc_id, gram)."""
+    """Distinct word n-gram shingles per document: (doc_id, gram).
+
+    ``gram`` is the 64-bit ``xxhash64`` of the n-gram text, and the
+    per-document dedup happens NARROW: ``array_distinct`` inside the row
+    (doc_id is unique per row, so per-doc distinct ≡ the old global
+    ``.distinct()``), then explode.  Two scale effects: this stage is now
+    shuffle-FREE — the previous explode→distinct shuffled the entire
+    exploded corpus (at 100 TB, the single largest shuffle in the dedup
+    family) — and every downstream shuffle/join/aggregate moves 8-byte
+    longs instead of gram strings.  64-bit hashing of grams is
+    deterministic and collision-safe at corpus gram cardinalities
+    (~n²/2⁶⁵ merge probability), and all downstream semantics (Jaccard
+    counts, minhash mins, simhash bits) are hash-based anyway — the
+    oracle gate cross-checks the string-side computation end to end."""
     ws = words(F.col(text_col))
+    hashed = F.array_distinct(
+        F.transform(word_ngrams(ws, n), lambda g: F.xxhash64(g)))
     return (
         docs.filter(F.size(ws) >= n)
-        .select("doc_id", F.explode(word_ngrams(ws, n)).alias("gram"))
-        .distinct()
+        .select("doc_id", F.explode(hashed).alias("gram"))
     )
 
 
@@ -111,16 +125,50 @@ def prefix_index(sh: DataFrame, tau_x1e4: int) -> DataFrame:
     )
 
 
-def _prefix_self_join(ranked: DataFrame, tau: float) -> DataFrame:
+#: hard ceiling on the per-gram salt factor (replication is ≤ salt+1 per
+#: posting entry, paid only by grams over the df-cap)
+MAX_SALT = 16
+
+
+def _prefix_self_join(ranked: DataFrame, tau: float, df_cap: int) -> DataFrame:
     """Candidate pairs sharing a prefix gram, with the PPJoin length
-    filter (τ·|A| ≤ |B| ≤ |A|/τ)."""
-    a, b = ranked.alias("a"), ranked.alias("b")
+    filter (τ·|A| ≤ |B| ≤ |A|/τ) — SALTED by gram hotness so no single
+    task ever materializes a hot gram's full posting-list self-product.
+
+    Each gram gets a salt factor ``s = min(ceil(gram_df / df_cap),
+    MAX_SALT)`` (1 for everything under the cap — zero replication on the
+    common path).  Posting entries hash into ``s`` buckets by doc_id and
+    the unordered bucket pair (u ≤ v) joins the key: the left side sits
+    at its own bucket ``u`` replicated to every ``v ≥ u``, the right side
+    at its own bucket ``v`` replicated to every ``u ≤ v``.  A cross-bucket
+    pair therefore meets in exactly one task — (min-bucket doc on the
+    left, max-bucket doc on the right) — and the within-bucket diagonal
+    (u = v) dedups on ``doc_id`` order; ``least``/``greatest`` restore the
+    canonical d1 < d2.  Output is provably identical to the unsalted join
+    while per-task fan-in drops from ``m`` to ``~m/s`` for a hot gram
+    with ``m`` prefix postings."""
+    s = F.least(F.ceil(F.col("gram_df") / F.lit(df_cap)),
+                F.lit(MAX_SALT)).cast("int")
+    b = F.pmod(F.xxhash64("doc_id", F.lit(7)), s).cast("int")
+    base = ranked.withColumn("sb", b).withColumn("ss", s)
+    left = base.select(
+        "doc_id", "gram", "n_sh", F.col("sb").alias("u"),
+        F.explode(F.sequence(F.col("sb"), F.col("ss") - 1)).alias("v"))
+    right = base.select(
+        "doc_id", "gram", "n_sh", F.col("sb").alias("v"),
+        F.explode(F.sequence(F.lit(0), F.col("sb"))).alias("u"))
+    a, c = left.alias("a"), right.alias("b")
     return (
-        a.join(b, (F.col("a.gram") == F.col("b.gram"))
-               & (F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(c, (F.col("a.gram") == F.col("b.gram"))
+               & (F.col("a.u") == F.col("b.u")) & (F.col("a.v") == F.col("b.v"))
+               # off-diagonal tasks pair distinct buckets (hence distinct
+               # docs); the diagonal orders by doc_id to emit each pair once
+               & ((F.col("a.u") < F.col("a.v"))
+                  | (F.col("a.doc_id") < F.col("b.doc_id")))
                & (F.col("b.n_sh") >= F.ceil(F.lit(tau) * F.col("a.n_sh")))
                & (F.col("a.n_sh") >= F.ceil(F.lit(tau) * F.col("b.n_sh"))))
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .select(F.least("a.doc_id", "b.doc_id").alias("d1"),
+                F.greatest("a.doc_id", "b.doc_id").alias("d2"))
     )
 
 
@@ -138,24 +186,24 @@ def jaccard_pairs_prefix(sh: DataFrame, tau_x1e4: int,
     filter (τ·|A| ≤ |B| ≤ |A|/τ) prunes further.  Candidates are then
     exactly verified on the full shingle sets.
 
-    Hot-gram df-cap (``df_cap``): the candidate join is PARTITIONED by
-    gram hotness, which bounds join fan-out without changing output:
+    Hot-gram df-cap (``df_cap``): two mechanisms keep stop-grams from
+    concentrating the candidate join, with output UNCHANGED at any cap:
 
-    - *light* grams (df ≤ cap): every posting list entering the join is
-      ≤ cap rows by construction — no skew regardless of corpus shape.
-    - *heavy* grams (df > cap): because the prefix order is df-ascending,
-      heavy grams sort strictly AFTER every light gram in every document,
-      so a heavy gram reaches a document's prefix only when the prefix
-      spills past all of its light grams — i.e. only for documents whose
-      gram multiset is ≥ τ hot grams (near-pure boilerplate).  The heavy
-      self-join therefore runs over that tiny spill set, not the hot
-      gram's full corpus-wide posting list.
+    - *Analytic*: the df-ascending prefix order makes hot grams
+      self-evicting — a gram with document frequency ``m`` sorts after
+      every rarer gram in every document, so it reaches a document's
+      prefix only when that document's grams are ≥ τ hot overall (the
+      boilerplate "spill set").  A corpus-wide stop-gram therefore enters
+      the prefix index with a posting list of spill-set size, not ``m``
+      (asserted by the stop-gram pytest).
+    - *Physical*: any gram still over the cap is SALTED in the self-join
+      (``_prefix_self_join``) — posting entries bucket by doc_id and the
+      bucket pair joins the key, bounding per-task fan-in to ~df_cap
+      with exactly-once pair generation.
 
-    Exactness: every candidate pair shares ≥1 prefix gram; that gram is
-    either light (pair found by the light join) or heavy (both docs are in
-    the spill set; pair found by the heavy join).  The union is exactly
-    the single-join candidate set, and verification on full shingle sets
-    is unchanged — output is byte-identical at ANY cap value."""
+    Exactness: salting only re-routes which task generates each pair, and
+    verification runs on full shingle sets — output is byte-identical to
+    the naive all-pairs join."""
     tau = tau_x1e4 / 10000.0
     from pyspark import StorageLevel
 
@@ -164,11 +212,8 @@ def jaccard_pairs_prefix(sh: DataFrame, tau_x1e4: int,
     # the corpus per consumer (no-op if the caller already persisted)
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    ranked = prefix_index(sh, tau_x1e4)
-    light = ranked.filter(F.col("gram_df") <= df_cap)
-    heavy = ranked.filter(F.col("gram_df") > df_cap)
-    cand = _prefix_self_join(light, tau).union(
-        _prefix_self_join(heavy, tau)).distinct()
+    cand = (_prefix_self_join(prefix_index(sh, tau_x1e4), tau, df_cap)
+            .distinct())
     return verify_jaccard_pairs(sh, cand, tau_x1e4, sizes=sizes)
 
 

@@ -813,13 +813,28 @@ FROM documents
 _SHINGLE_CACHE: dict[tuple, DataFrame] = {}
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Local-input guard for compute-heavy narrow stages: a small parquet
+    file with one row group scans as ONE task, so n-gram construction
+    would run single-threaded no matter how many cores the session has.
+    Repartition up to the session parallelism when (and only when) the
+    source carries fewer partitions — at cluster scale a corpus scan has
+    thousands of splits (≫ parallelism) and this is a no-op, so the
+    shuffle-free property of the shingle stage is preserved exactly where
+    it matters."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def _shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     key = (sf_dir, n)
     hit = _SHINGLE_CACHE.get(key)
     if hit is None:
         from pyspark import StorageLevel
 
-        hit = D.shingles(T(spark, sf_dir, "documents"), n).persist(
+        hit = D.shingles(_fan_out(T(spark, sf_dir, "documents")), n).persist(
             StorageLevel.MEMORY_AND_DISK)
         _SHINGLE_CACHE[key] = hit
     return hit
@@ -1126,7 +1141,7 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data pipeline: quality gate → exact dedup →
     near-dup removal (drop the larger doc_id of every Jaccard ≥ 0.8 pair).
     The composed pipeline stays exact, so the whole thing oracle-checks."""
-    docs = T(spark, sf_dir, "documents")
+    docs = _fan_out(T(spark, sf_dir, "documents"))
     q = TX.quality_score(docs).filter(F.col("len_ok") & F.col("has_stopwords"))
     kept = docs.join(q.select("doc_id"), "doc_id", "left_semi")
     exact = D.exact_dedup(kept).select(F.col("keep_id").alias("doc_id"))

@@ -36,13 +36,22 @@ def test_exact_dedup_single_shuffle(spark, sf01_dir):
     assert count_exchanges(df) == 1  # the groupBy(digest) — nothing else
 
 
+def test_shingles_are_shuffle_free(spark, sf01_dir):
+    """Per-doc distinct happens narrow (array_distinct in the row) — the
+    exploded corpus must NEVER shuffle just to deduplicate shingles."""
+    from cuckoofilter_spark.operators.dedup import shingles
+
+    sh = shingles(spark.read.parquet(f"{sf01_dir}/documents.parquet"), 3)
+    assert count_exchanges(sh) == 0
+
+
 def test_minhash_signatures_single_shuffle(spark, sf01_dir):
     from cuckoofilter_spark.operators.dedup import minhash_signatures, shingles
 
     sh = shingles(spark.read.parquet(f"{sf01_dir}/documents.parquet"), 3)
     sig = minhash_signatures(sh, num_hashes=16)
-    # shingles distinct (1) + signature groupBy (1)
-    assert count_exchanges(sig) <= 2
+    # the signature groupBy is the ONLY exchange (shingling is narrow)
+    assert count_exchanges(sig) == 1
 
 
 def test_topk_broadcasts_queries(spark, sf01_dir):
