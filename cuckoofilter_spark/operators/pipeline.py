@@ -1,0 +1,242 @@
+"""Training-data pipeline operators beyond the reference surface.
+
+Four operators a large-scale (100 TB) LLM-corpus pipeline needs that
+neither the reference (a membership-set library) nor stock Spark provides
+directly, each built Spark-first on the engine's existing primitives:
+
+- :func:`decontaminate` — benchmark n-gram decontamination: flag training
+  documents that share any word n-gram with a held-out evaluation set.
+  The cuckoo filter (this library's core object) is the scale lever: the
+  benchmark gram set is compiled into a ~2-byte-per-gram broadcast filter
+  and the *entire* training gram stream is pruned by a narrow map before
+  the exact verification join ever shuffles a row.
+- :func:`prefix_sum` — distributed exclusive prefix sum over a global
+  ordering, the building block Spark lacks (a bare window over
+  ``ORDER BY`` collapses to one partition).  Two-phase: sketch-balanced
+  range bucketing, per-bucket totals (tiny collect), then per-bucket
+  local cumsum with the bucket offset added.
+- :func:`pack_sequences` — token-level sequence packing (concat-and-chunk
+  into fixed context windows), expressed on top of :func:`prefix_sum`.
+- :func:`stratified_sample` — deterministic per-stratum hash sampling
+  (md5-threshold), reproducible across runs/engines and shuffle-free.
+- :func:`quantile_buckets` — KLL-sketch-derived balanced range bucketing
+  (the distributed analog of ``repartitionByRange`` with *inspectable,
+  deterministic* bounds), shared by :func:`prefix_sum`.
+
+Reference tie-in: the decontamination probe is exactly the reference's
+``containsElement`` contract (CF/cuckoo_filter.h:278-301 — no false
+negatives, bounded false positives) lifted to a corpus-scale anti-join;
+the gram window is the FASTA k-mer slide (FASTA/fasta_reader.cpp:67-75)
+over words instead of bases.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cuckoofilter_spark.operators.build import build_filter
+from cuckoofilter_spark.operators.dedup import shingles
+from cuckoofilter_spark.operators.membership import cf_contains_udf
+from cuckoofilter_spark.params import CuckooParams
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate(spark: SparkSession, train: DataFrame, bench: DataFrame,
+                  n: int = 5, text_col: str = "text",
+                  params: CuckooParams | None = None) -> DataFrame:
+    """Benchmark decontamination: ``(doc_id, n_overlap)`` for every
+    training document sharing at least one word *n*-gram with *bench*.
+
+    Plan (and why it survives 100 TB):
+
+    1. ``shingles`` hashes each side's distinct per-doc n-grams to 64-bit
+       longs inside the row (shuffle-free, 8-byte keys downstream).
+    2. The benchmark gram set is compiled into a broadcast cuckoo filter
+       (~2 bytes/gram at f=16 — 10^8 benchmark grams ≈ 200 MB, far under
+       what a broadcast *hash join* of the same set would need).
+    3. The training gram stream is pruned by the filter in a narrow map.
+       No false negatives (CF/cuckoo_filter.h:278-301) ⇒ no missed
+       contamination; survivors ≈ true overlaps + ε·|train grams|.
+    4. Only the surviving sliver is exactly verified with a semi join
+       against the benchmark grams (kills the ε false positives), then
+       counted per document.  The expensive corpus-wide shuffle the naive
+       gram join would do never happens.
+    """
+    from pyspark import StorageLevel
+
+    # One shuffle computes the distinct benchmark gram set; persist it
+    # because three consumers follow (sizing count, filter build, exact
+    # verify join) — without the persist the gram shuffle runs thrice.
+    bench_grams = (shingles(bench, n=n, text_col=text_col)
+                   .select("gram").distinct()
+                   .persist(StorageLevel.MEMORY_AND_DISK))
+    if params is None:
+        ndv = bench_grams.count()  # exact NDV — it IS the distinct set
+        params = CuckooParams(max_table_size=max(1024, 2 * ndv),
+                              bits_per_fp=16)
+    filt = build_filter(bench_grams, "gram", params, num_partitions=8)
+    contains = cf_contains_udf(spark, filt)
+
+    train_grams = shingles(train, n=n, text_col=text_col)
+    survivors = train_grams.filter(contains(F.col("gram")))
+    # Exact verify: plain (non-broadcast) semi join — by this point the
+    # left side is the pruned sliver, so the shuffle moves almost nothing.
+    confirmed = survivors.join(bench_grams, "gram", "left_semi")
+    return confirmed.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_overlap"))
+
+
+# ---------------------------------------------------------------------------
+# sketch-balanced range bucketing + distributed prefix sum
+# ---------------------------------------------------------------------------
+
+def quantile_buckets(df: DataFrame, col: str, num_buckets: int,
+                     k: int = 512) -> tuple[list[float], DataFrame]:
+    """Assign each row a range bucket ``0..num_buckets-1`` over *col*
+    using boundary quantiles read off one merged KLL sketch.
+
+    This is ``repartitionByRange`` re-expressed with the library's own
+    quantile sketch: the bounds are deterministic (fixed seeds, fixed
+    data), inspectable, and reusable across jobs — where Spark's
+    ``RangePartitioner`` re-samples per run.  One narrow pass builds the
+    sketch (bounded state, merge-associative), bucket assignment is a
+    narrow map; nothing shuffles.
+
+    Returns ``(bounds, df_with_bucket, sketch)`` where ``bounds`` has
+    ``num_buckets - 1`` ascending split points, ``bucket`` counts the
+    bounds ≤ value (so ties go to the right bucket deterministically),
+    and ``sketch`` is the merged KLL (exposes ``rank_error`` so callers
+    can gate how balanced the buckets are guaranteed to be).
+    """
+    from cuckoofilter_spark.operators.sketch_build import build_sketch
+    from cuckoofilter_spark.sketches.kll import KLLSketch
+
+    sk = build_sketch(df.select(F.col(col).cast("double").alias(col)), col,
+                      lambda pid: KLLSketch(k=k, seed=11), values="float")
+    qs = [i / num_buckets for i in range(1, num_buckets)]
+    bounds = [float(sk.quantile(q)) for q in qs]
+    bounds = sorted(bounds)  # sketch quantiles are monotone; be explicit
+    v = F.col(col).cast("double")
+    bucket = None
+    for b in bounds:
+        term = (v >= F.lit(b)).cast("int")
+        bucket = term if bucket is None else bucket + term
+    bucket = F.lit(0) if bucket is None else bucket
+    return bounds, df.withColumn("bucket", bucket.cast("int")), sk
+
+
+def prefix_sum(df: DataFrame, order_col: str, weight_col: str,
+               num_buckets: int = 32, out_col: str = "offset") -> DataFrame:
+    """Exclusive prefix sum of *weight_col* over the global ordering of
+    *order_col* — without ever sorting globally or collapsing to one
+    partition (the trap of ``sum().over(Window.orderBy(...))`` with no
+    ``partitionBy``, which Spark executes single-task).
+
+    Phase 1: KLL-balanced range buckets over *order_col* (narrow).
+    Phase 2: per-bucket totals — ``num_buckets`` rows to the driver.
+    Phase 3: per-bucket sorted cumsum via ``applyInPandas`` with the
+    bucket's exclusive global offset folded in.  Each task holds one
+    bucket ≈ n/num_buckets rows (bounded by the sketch's rank error), so
+    the operator scales by raising ``num_buckets`` with the data.
+
+    Requires *order_col* values to be unique (a global ordering); weights
+    are summed as int64.
+    """
+    import pandas as pd
+
+    _, bucketed, _ = quantile_buckets(df, order_col, num_buckets)
+    totals = {
+        r["bucket"]: r["total"]
+        for r in bucketed.groupBy("bucket")
+        .agg(F.sum(F.col(weight_col).cast("long")).alias("total"))
+        .collect()
+    }
+    base, offsets = 0, {}
+    for b in range(num_buckets):
+        offsets[b] = base
+        base += int(totals.get(b, 0))
+
+    schema_out = bucketed.drop("bucket").schema.add(out_col, "long")
+    cols = [f.name for f in schema_out.fields]
+
+    def cumsum(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        w = pdf[weight_col].astype("int64")
+        start = offsets[int(pdf["bucket"].iloc[0])]
+        pdf[out_col] = w.cumsum() - w + start
+        return pdf[cols]
+
+    return bucketed.groupBy("bucket").applyInPandas(cumsum, schema_out)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+def pack_sequences(docs: DataFrame, seq_len: int,
+                   order_col: str = "doc_id",
+                   weight_col: str = "n_tok",
+                   num_buckets: int = 32) -> DataFrame:
+    """Token-level sequence packing: documents are concatenated in
+    *order_col* order into one global token stream and cut into fixed
+    ``seq_len`` context windows (the standard LLM pre-training layout —
+    no padding, documents may straddle chunk boundaries).
+
+    Output per document: its global token ``offset``, the first/last
+    chunk ids it lands in, and how many chunks it spans.  Downstream, a
+    writer groups by chunk id to emit the packed sequences; this operator
+    is the placement computation, which is all prefix-sum.
+    """
+    placed = prefix_sum(docs, order_col, weight_col,
+                        num_buckets=num_buckets, out_col="offset")
+    w = F.col(weight_col).cast("long")
+    first = (F.col("offset") / seq_len).cast("long")
+    last = ((F.col("offset") + F.greatest(w, F.lit(1)) - 1) / seq_len) \
+        .cast("long")
+    return placed.select(
+        order_col, w.alias(weight_col), "offset",
+        first.alias("chunk_first"), last.alias("chunk_last"),
+        (last - first + 1).alias("n_chunks"))
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+def _hex_threshold(rate: float) -> str:
+    """8-hex-digit threshold: keep a row iff the first 8 md5 hex digits of
+    its key compare below this (≈ rate·2^32 of the uniform hash space)."""
+    t = min(int(rate * 2 ** 32), 2 ** 32 - 1)
+    return format(t, "08x")
+
+
+def stratified_sample(docs: DataFrame, stratum_col: str,
+                      rates: dict[str, float], key_col: str = "doc_id",
+                      salt: str = "v1") -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff
+    ``md5(key || '|' || salt)``'s first 8 hex digits fall below the
+    stratum's threshold.  Properties the usual ``df.sampleBy`` lacks:
+
+    - reproducible across runs, engines and partitionings (content-hash,
+      not RNG state) — the oracle recomputes the identical sample in SQL;
+    - stable under corpus growth: a doc's keep/drop never flips when
+      other rows arrive (critical for incremental corpus rebuilds);
+    - shuffle-free: a broadcast map join on the stratum plus a narrow
+      filter.
+
+    Unknown strata are dropped (rate 0).
+    """
+    spark = docs.sparkSession
+    thr = spark.createDataFrame(
+        [(s, _hex_threshold(r)) for s, r in sorted(rates.items())],
+        f"{stratum_col} string, _thr string")
+    h = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit("|" + salt))),
+        1, 8)
+    return (docs.join(F.broadcast(thr), stratum_col)
+            .filter(h < F.col("_thr"))
+            .drop("_thr"))

@@ -1774,6 +1774,140 @@ SELECT CAST(TRUE AS BOOLEAN) AS fpr_within_bound,
 
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# training-data pipeline: decontamination / packing / sampling / bucketing
+# (operators/pipeline.py — beyond the reference surface, first-class per brief)
+# ---------------------------------------------------------------------------
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (doc_id % 10 != 0) that
+    share any word 5-gram with the held-out eval slice (doc_id % 10 == 0),
+    with the overlap count.  The cuckoo filter is the scale lever: the
+    eval gram set becomes a ~2 B/gram broadcast filter that prunes the
+    full training gram stream in a narrow map (zero false negatives,
+    CF/cuckoo_filter.h:278-301 — contamination cannot slip through)
+    before the exact verify join sees a row.  Exact: the ε false
+    positives are killed by the verify join, so the result equals the
+    plain gram-join oracle."""
+    from cuckoofilter_spark.operators.pipeline import decontaminate
+
+    docs = _fan_out(T(spark, sf_dir, "documents"))
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    return decontaminate(spark, train, bench, n=5)
+
+
+SQL_DECONTAMINATE = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, g AS gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(len(string_split(text,' ')) - 4),
+             i -> string_split(text,' ')[i+1] || chr(1) ||
+                  string_split(text,' ')[i+2] || chr(1) ||
+                  string_split(text,' ')[i+3] || chr(1) ||
+                  string_split(text,' ')[i+4] || chr(1) ||
+                  string_split(text,' ')[i+5])) AS g
+    FROM documents WHERE len(string_split(text,' ')) >= 5))
+SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+FROM sh t
+JOIN (SELECT DISTINCT gram FROM sh WHERE doc_id % 10 = 0) b USING (gram)
+WHERE t.doc_id % 10 <> 0
+GROUP BY t.doc_id
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing placement: concatenate documents in doc_id order
+    into one global token stream, cut into 256-token context windows;
+    emit each doc's global offset and the chunk span it lands in.  The
+    global exclusive prefix sum is NOT a bare ``ORDER BY`` window (which
+    Spark executes in ONE task) — it is the two-phase sketch-bucketed
+    prefix sum of operators/pipeline.py: KLL-balanced range buckets,
+    per-bucket totals to the driver (num_buckets rows), per-bucket local
+    cumsum.  Exact vs the window-function oracle."""
+    from cuckoofilter_spark.operators.pipeline import pack_sequences
+
+    docs = T(spark, sf_dir, "documents")
+    wdocs = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok"))
+    return pack_sequences(wdocs, seq_len=256, num_buckets=16)
+
+
+SQL_PACK_SEQUENCES = """
+WITH w AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
+           FROM documents),
+o AS (SELECT doc_id, n_tok,
+             COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM w)
+SELECT doc_id, n_tok, CAST(off AS BIGINT) AS offset,
+       CAST(floor(off / 256) AS BIGINT) AS chunk_first,
+       CAST(floor((off + greatest(n_tok, 1) - 1) / 256) AS BIGINT) AS chunk_last,
+       CAST(floor((off + greatest(n_tok, 1) - 1) / 256)
+            - floor(off / 256) + 1 AS BIGINT) AS n_chunks
+FROM o
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-source keep rates
+    (20/40/60/80% by source index mod 4) applied as an md5-threshold on
+    the doc key — reproducible across runs/engines/partitionings (the
+    oracle recomputes the *identical* sample in SQL, which no RNG-state
+    sample could), stable under corpus growth, and shuffle-free (broadcast
+    rate map + narrow filter)."""
+    from cuckoofilter_spark.operators.pipeline import stratified_sample
+
+    docs = T(spark, sf_dir, "documents")
+    sources = [r["source"] for r in docs.select("source").distinct().collect()]
+    rates = {s: [0.2, 0.4, 0.6, 0.8][int(s[3:]) % 4] for s in sources}
+    return stratified_sample(docs, "source", rates).select("doc_id", "source")
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, source FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|v1'), 1, 8) <
+      CASE CAST(substr(source, 4) AS INT) % 4
+        WHEN 0 THEN '33333333' WHEN 1 THEN '66666666'
+        WHEN 2 THEN '99999999' ELSE 'cccccccc' END
+"""
+
+
+def q_balanced_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-balanced range bucketing (the engine's repartitionByRange):
+    16 buckets over orders.o_totalprice from one merged KLL's boundary
+    quantiles.  Gates: the buckets form a partition of the relation
+    (counts sum to n), bounds strictly ascend, every realized bucket
+    count is within the sketch's guarantee (each boundary rank off by
+    ≤ 3ε·n ⇒ each bucket within n/16 ± 6ε·n)."""
+    from cuckoofilter_spark.operators.pipeline import quantile_buckets
+
+    B = 16
+    orders = T(spark, sf_dir, "orders").select("o_totalprice")
+    bounds, bucketed, sk = quantile_buckets(orders, "o_totalprice", B, k=512)
+    counts = {r["bucket"]: r["cnt"] for r in
+              bucketed.groupBy("bucket").agg(F.count("*").alias("cnt"))
+              .collect()}
+    n = sum(counts.values())
+    slack = 6 * sk.rank_error * n
+    return _bool_row(
+        spark,
+        n_rows=n,
+        covers_all_rows=(orders.count() == n),
+        bounds_ascending=all(a < b for a, b in zip(bounds, bounds[1:])),
+        all_buckets_within_bound=all(
+            abs(counts.get(b, 0) - n / B) <= slack for b in range(B)),
+    )
+
+
+SQL_BALANCED_BUCKETS = """
+SELECT CAST(TRUE AS BOOLEAN) AS all_buckets_within_bound,
+       CAST(TRUE AS BOOLEAN) AS bounds_ascending,
+       CAST(TRUE AS BOOLEAN) AS covers_all_rows,
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS n_rows
+"""
+
+
 QUERIES = {
     "cf_member_parts": q_cf_member_parts,
     "cf_build_fpr": q_cf_build_fpr,
@@ -1823,6 +1957,10 @@ QUERIES = {
     "bloom_pruned_join": q_bloom_pruned_join,
     "fasta_kmers": q_fasta_kmers,
     "tokens_cf_build": q_tokens_cf_build,
+    "decontaminate": q_decontaminate,
+    "pack_sequences": q_pack_sequences,
+    "stratified_sample": q_stratified_sample,
+    "balanced_buckets": q_balanced_buckets,
 }
 
 ORACLES = {
@@ -1874,4 +2012,8 @@ ORACLES = {
     "bloom_pruned_join": SQL_BLOOM_PRUNED_JOIN,
     "fasta_kmers": SQL_FASTA_KMERS,
     "tokens_cf_build": SQL_TOKENS_CF_BUILD,
+    "decontaminate": SQL_DECONTAMINATE,
+    "pack_sequences": SQL_PACK_SEQUENCES,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "balanced_buckets": SQL_BALANCED_BUCKETS,
 }

@@ -1,0 +1,178 @@
+"""Training-data pipeline operators (operators/pipeline.py):
+decontamination, distributed prefix sum / sequence packing, deterministic
+stratified sampling, sketch-balanced bucketing."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter_spark.operators import pipeline as P
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# decontaminate
+# ---------------------------------------------------------------------------
+
+def test_decontaminate_matches_plain_gram_join(spark, docs):
+    from cuckoofilter_spark.operators.dedup import shingles
+
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    got = {(r["doc_id"], r["n_overlap"])
+           for r in P.decontaminate(spark, train, bench, n=5).collect()}
+
+    bg = shingles(bench, n=5).select("gram").distinct()
+    want = {(r["doc_id"], r["n_overlap"]) for r in
+            shingles(train, n=5).join(bg, "gram", "left_semi")
+            .groupBy("doc_id").agg(F.count("*").alias("n_overlap"))
+            .collect()}
+    assert got == want and len(got) > 0
+
+
+def test_decontaminate_planted_overlap(spark):
+    # doc 100 copies a 5-gram run from bench doc 0; doc 101 shares nothing
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(100, "xx beta gamma delta epsilon zeta yy"),
+         (101, "one two three four five six seven")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r["n_overlap"]
+            for r in P.decontaminate(spark, train, bench, n=5).collect()}
+    # "beta gamma delta epsilon zeta" is the single shared 5-gram
+    assert rows == {100: 1}
+
+
+def test_decontaminate_no_collect_of_grams(spark, docs, monkeypatch):
+    """The gram stream must never be collected — only scalar sizing
+    aggregates and the ≤N-row result come to the driver."""
+    from pyspark.sql import DataFrame
+
+    orig = DataFrame.collect
+
+    def guarded(self):
+        rows = orig(self)
+        assert len(rows) <= 1000, f"driver collect of {len(rows)} rows"
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", guarded)
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    assert P.decontaminate(spark, train, bench, n=5).count() > 0
+
+
+# ---------------------------------------------------------------------------
+# prefix_sum / pack_sequences
+# ---------------------------------------------------------------------------
+
+def test_prefix_sum_equals_pandas_cumsum(spark, docs):
+    w = docs.select("doc_id", F.length("text").cast("long").alias("w"))
+    got = P.prefix_sum(w, "doc_id", "w", num_buckets=8).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    ref = w.toPandas().sort_values("doc_id").reset_index(drop=True)
+    expect = ref["w"].cumsum() - ref["w"]
+    assert (got["doc_id"] == ref["doc_id"]).all()
+    assert (got["offset"] == expect).all()
+
+
+def test_prefix_sum_bucket_count_invariance(spark, docs):
+    """The result is independent of the bucketing granularity."""
+    w = docs.select("doc_id", F.length("text").cast("long").alias("w"))
+    a = P.prefix_sum(w, "doc_id", "w", num_buckets=2).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = P.prefix_sum(w, "doc_id", "w", num_buckets=31).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_pack_sequences_covers_stream_exactly(spark, docs):
+    """Chunk spans tile the concatenated token stream: doc i+1 starts
+    where doc i ended, and every chunk id up to the last is used."""
+    w = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok"))
+    out = P.pack_sequences(w, seq_len=128, num_buckets=8).toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (out["offset"] + out["n_tok"]).iloc[:-1].equals(
+        out["offset"].iloc[1:].reset_index(drop=True))
+    total = int(out["n_tok"].sum())
+    assert int(out["chunk_last"].max()) == (total - 1) // 128
+    assert (out["n_chunks"] == out["chunk_last"] - out["chunk_first"] + 1).all()
+
+
+def test_prefix_sum_no_single_partition_sort(spark, docs):
+    """The plan must not contain a global (single-partition) Sort — the
+    whole point vs a bare ORDER BY window."""
+    w = docs.select("doc_id", F.length("text").cast("long").alias("w"))
+    plan = P.prefix_sum(w, "doc_id", "w", num_buckets=8) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample
+# ---------------------------------------------------------------------------
+
+def test_stratified_sample_deterministic_and_stable(spark, docs):
+    rates = {f"src{i}": 0.5 for i in range(20)}
+    a = {r["doc_id"] for r in P.stratified_sample(docs, "source", rates).collect()}
+    b = {r["doc_id"] for r in P.stratified_sample(docs, "source", rates).collect()}
+    assert a == b and 0 < len(a) < 500
+    # stability under corpus growth: a subset corpus keeps the same rows
+    sub = docs.filter(F.col("doc_id") < 200)
+    c = {r["doc_id"] for r in P.stratified_sample(sub, "source", rates).collect()}
+    assert c == {d for d in a if d < 200}
+
+
+def test_stratified_sample_rates_within_binomial_band(spark, docs):
+    rates = {f"src{i}": [0.2, 0.8][i % 2] for i in range(20)}
+    got = (P.stratified_sample(docs, "source", rates)
+           .groupBy("source").agg(F.count("*").alias("kept")).collect())
+    per = {r["source"]: r["kept"] for r in got}
+    n_per = {r["source"]: r["cnt"] for r in
+             docs.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    for s, n in n_per.items():
+        p = rates[s]
+        sigma = (n * p * (1 - p)) ** 0.5
+        assert abs(per.get(s, 0) - n * p) <= 4 * sigma + 1
+
+
+def test_stratified_sample_unknown_stratum_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, source string")
+    out = P.stratified_sample(df, "source", {"a": 1.0})
+    assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+def test_stratified_sample_salt_changes_sample(spark, docs):
+    rates = {f"src{i}": 0.5 for i in range(20)}
+    a = {r["doc_id"] for r in
+         P.stratified_sample(docs, "source", rates, salt="v1").collect()}
+    b = {r["doc_id"] for r in
+         P.stratified_sample(docs, "source", rates, salt="v2").collect()}
+    assert a != b
+
+
+# ---------------------------------------------------------------------------
+# quantile_buckets
+# ---------------------------------------------------------------------------
+
+def test_quantile_buckets_partition_and_balance(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .select("o_totalprice")
+    B = 8
+    bounds, bucketed, sk = P.quantile_buckets(orders, "o_totalprice", B, k=512)
+    assert len(bounds) == B - 1 and bounds == sorted(bounds)
+    counts = {r["bucket"]: r["cnt"] for r in
+              bucketed.groupBy("bucket").agg(F.count("*").alias("cnt"))
+              .collect()}
+    n = orders.count()
+    assert sum(counts.values()) == n          # a partition of the relation
+    assert set(counts) <= set(range(B))
+    slack = 6 * sk.rank_error * n
+    for b in range(B):
+        assert abs(counts.get(b, 0) - n / B) <= slack
