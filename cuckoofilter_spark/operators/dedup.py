@@ -55,11 +55,18 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     (~n²/2⁶⁵ merge probability), and all downstream semantics (Jaccard
     counts, minhash mins, simhash bits) are hash-based anyway — the
     oracle gate cross-checks the string-side computation end to end."""
-    ws = words(F.col(text_col))
+    # The split array MUST be materialized behind a projection boundary
+    # before word_ngrams indexes into it: an inline `split(text)` is
+    # re-evaluated by every `element_at(ws, i)` inside the transform
+    # lambda — O(words²) splits per document (measured: 1 doc × 20k words
+    # = 125 s inline vs 0.6 s materialized).  Binding it to an attribute
+    # makes codegen evaluate it once per row.
+    pre = docs.select("doc_id", words(F.col(text_col)).alias("_ws"))
+    ws = F.col("_ws")
     hashed = F.array_distinct(
         F.transform(word_ngrams(ws, n), lambda g: F.xxhash64(g)))
     return (
-        docs.filter(F.size(ws) >= n)
+        pre.filter(F.size(ws) >= n)
         .select("doc_id", F.explode(hashed).alias("gram"))
     )
 

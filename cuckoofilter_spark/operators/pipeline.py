@@ -130,7 +130,8 @@ def quantile_buckets(df: DataFrame, col: str, num_buckets: int,
 
 
 def prefix_sum(df: DataFrame, order_col: str, weight_col: str,
-               num_buckets: int = 32, out_col: str = "offset") -> DataFrame:
+               num_buckets: int = 32, out_col: str = "offset",
+               tiebreak: tuple[str, ...] = ()) -> DataFrame:
     """Exclusive prefix sum of *weight_col* over the global ordering of
     *order_col* — without ever sorting globally or collapsing to one
     partition (the trap of ``sum().over(Window.orderBy(...))`` with no
@@ -143,8 +144,10 @@ def prefix_sum(df: DataFrame, order_col: str, weight_col: str,
     bucket ≈ n/num_buckets rows (bounded by the sketch's rank error), so
     the operator scales by raising ``num_buckets`` with the data.
 
-    Requires *order_col* values to be unique (a global ordering); weights
-    are summed as int64.
+    The global ordering is ``(order_col, *tiebreak)``; ties in
+    *order_col* are safe (bucket assignment is a function of the value,
+    so tied rows always land in the same bucket) as long as the full key
+    is unique.  Weights are summed as int64.
     """
     import pandas as pd
 
@@ -163,8 +166,10 @@ def prefix_sum(df: DataFrame, order_col: str, weight_col: str,
     schema_out = bucketed.drop("bucket").schema.add(out_col, "long")
     cols = [f.name for f in schema_out.fields]
 
+    sort_cols = [order_col, *tiebreak]
+
     def cumsum(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col, kind="mergesort")
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
         w = pdf[weight_col].astype("int64")
         start = offsets[int(pdf["bucket"].iloc[0])]
         pdf[out_col] = w.cumsum() - w + start
@@ -201,6 +206,34 @@ def pack_sequences(docs: DataFrame, seq_len: int,
         order_col, w.alias(weight_col), "offset",
         first.alias("chunk_first"), last.alias("chunk_last"),
         (last - first + 1).alias("n_chunks"))
+
+
+# ---------------------------------------------------------------------------
+# deterministic corpus shuffle
+# ---------------------------------------------------------------------------
+
+def shuffle_rank(df: DataFrame, key_col: str = "doc_id", salt: str = "shuf1",
+                 num_buckets: int = 32, out_col: str = "shuffle_rank") -> DataFrame:
+    """Deterministic global corpus shuffle for training-order
+    randomization: rank every row by the md5 of its key (salted, so each
+    epoch's permutation differs by salt alone).  Content-hash ordering
+    makes the permutation reproducible across runs, engines and
+    partitionings — unlike ``orderBy(rand())``.
+
+    The global rank is :func:`prefix_sum` with unit weights over the
+    hash order — a row's rank is the count of rows hashing before it —
+    so no single-task global sort happens; ties in the 60-bit hash
+    prefix (~n²/2⁶¹) are broken by the key itself.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"),
+                           F.lit("|" + salt))), 1, 15),
+        16, 10).cast("long")
+    with_h = df.withColumn("_h", h).withColumn("_one", F.lit(1).cast("long"))
+    ranked = prefix_sum(with_h, "_h", "_one", num_buckets=num_buckets,
+                        out_col=out_col, tiebreak=(key_col,))
+    return ranked.drop("_h", "_one")
 
 
 # ---------------------------------------------------------------------------

@@ -34,7 +34,13 @@ def words(text: Column) -> Column:
 def word_ngrams(ws: Column, n: int) -> Column:
     """Overlapping word n-grams (stride 1), the token analog of the
     reference's k-mer sliding window (``FASTA/fasta_reader.cpp:67-75``).
-    Empty when the document has fewer than *n* words."""
+    Empty when the document has fewer than *n* words.
+
+    SCALE HAZARD: pass *ws* as a bound column (``F.col``), never an
+    inline expression like ``F.split(text)`` — the transform lambda
+    indexes into *ws* via ``element_at`` once per position, and codegen
+    re-evaluates an inline expression on every call: O(words²) per
+    document (quadratic-split measurement in ``dedup.shingles``)."""
     idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(0)))
     parts = lambda i: [F.element_at(ws, i + j) for j in range(n)]  # noqa: E731
     return F.transform(idx, lambda i: F.concat_ws("\x01", *parts(i)))

@@ -1873,6 +1873,28 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|v1'), 1, 8) <
 """
 
 
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: every doc ranked by the
+    salted md5 of its key — reproducible across engines (the oracle
+    derives the identical permutation with a window function), epoch
+    re-shuffles are a salt change.  The rank is the bucketed prefix sum
+    over hash order (operators/pipeline.prefix_sum with unit weights) —
+    no single-task global sort, no rand()."""
+    from cuckoofilter_spark.operators.pipeline import shuffle_rank
+
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_rank(docs, "doc_id", salt="shuf1", num_buckets=16)
+
+
+SQL_CORPUS_SHUFFLE = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || '|shuf1'), 1, 15),
+                  doc_id) - 1 AS BIGINT) AS shuffle_rank
+FROM documents
+"""
+
+
 def q_balanced_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-balanced range bucketing (the engine's repartitionByRange):
     16 buckets over orders.o_totalprice from one merged KLL's boundary
@@ -1960,6 +1982,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "pack_sequences": q_pack_sequences,
     "stratified_sample": q_stratified_sample,
+    "corpus_shuffle": q_corpus_shuffle,
     "balanced_buckets": q_balanced_buckets,
 }
 
@@ -2015,5 +2038,6 @@ ORACLES = {
     "decontaminate": SQL_DECONTAMINATE,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "corpus_shuffle": SQL_CORPUS_SHUFFLE,
     "balanced_buckets": SQL_BALANCED_BUCKETS,
 }

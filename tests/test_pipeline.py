@@ -114,6 +114,30 @@ def test_prefix_sum_no_single_partition_sort(spark, docs):
 
 
 # ---------------------------------------------------------------------------
+# shuffle_rank
+# ---------------------------------------------------------------------------
+
+def test_shuffle_rank_is_a_permutation(spark, docs):
+    out = P.shuffle_rank(docs.select("doc_id"), "doc_id").toPandas()
+    n = len(out)
+    assert sorted(out["shuffle_rank"]) == list(range(n))
+    # and it is not the identity (the point of shuffling)
+    assert (out.sort_values("doc_id")["shuffle_rank"].to_numpy()
+            != range(n)).any()
+
+
+def test_shuffle_rank_salt_gives_new_permutation(spark, docs):
+    ids = docs.select("doc_id")
+    a = P.shuffle_rank(ids, "doc_id", salt="e1").toPandas() \
+        .sort_values("doc_id")["shuffle_rank"].to_numpy()
+    b = P.shuffle_rank(ids, "doc_id", salt="e2").toPandas() \
+        .sort_values("doc_id")["shuffle_rank"].to_numpy()
+    c = P.shuffle_rank(ids, "doc_id", salt="e1").toPandas() \
+        .sort_values("doc_id")["shuffle_rank"].to_numpy()
+    assert (a != b).any() and (a == c).all()
+
+
+# ---------------------------------------------------------------------------
 # stratified_sample
 # ---------------------------------------------------------------------------
 
