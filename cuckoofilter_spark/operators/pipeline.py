@@ -208,6 +208,49 @@ def pack_sequences(docs: DataFrame, seq_len: int,
         (last - first + 1).alias("n_chunks"))
 
 
+def pack_chunks(docs: DataFrame, seq_len: int,
+                order_col: str = "doc_id", text_col: str = "text",
+                num_buckets: int = 32) -> DataFrame:
+    """Materialize the packed training sequences: concatenate documents'
+    whitespace tokens in *order_col* order into one global stream and
+    emit one row per ``seq_len``-token chunk with the chunk's token
+    count and an md5 digest of the joined token text (the content-level
+    proof of correct packing; a writer would emit the tokens themselves).
+
+    Plan: per-doc token arrays (narrow) → global offsets via
+    :func:`prefix_sum` (two tiny jobs) → posexplode to
+    ``(global_pos, token)`` (narrow — the corpus is materialized exactly
+    once, the inherent cost of writing packed sequences) → ONE shuffle
+    on ``chunk_id`` → in-row sort + join.  At 100 TB the shuffle moves
+    each token once, chunk sizes are fixed at ``seq_len``, and skew is
+    impossible by construction (every chunk is the same size).
+    """
+    ws = docs.select(order_col, F.split(F.col(text_col), " ").alias("_ws"))
+    # offsets are computed on the SLIM (order, weight) relation — the
+    # token payload never rides through the prefix-sum's Python stage;
+    # it rejoins JVM-side by key (co-partitioned shuffle at scale)
+    slim = ws.select(order_col, F.size("_ws").cast("long").alias("_n"))
+    offsets = prefix_sum(slim, order_col, "_n", num_buckets=num_buckets,
+                         out_col="_off").select(order_col, "_off")
+    tok = (ws.join(offsets, order_col)
+           .select("_off", F.posexplode("_ws").alias("_p", "w"))
+           .select((F.col("_off") + F.col("_p")).alias("pos"), "w"))
+    chunked = tok.select((F.col("pos") / seq_len).cast("long").alias("chunk_id"),
+                         "pos", "w")
+    assembled = (
+        chunked.groupBy("chunk_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "w"))).alias("_sw"))
+        .select(
+            "chunk_id",
+            F.size("_sw").cast("long").alias("n_tok"),
+            F.md5(F.encode(
+                F.array_join(F.transform("_sw", lambda s: s["w"]), " "),
+                "UTF-8")).alias("chunk_md5"),
+        )
+    )
+    return assembled
+
+
 # ---------------------------------------------------------------------------
 # deterministic corpus shuffle
 # ---------------------------------------------------------------------------

@@ -1849,6 +1849,39 @@ FROM o
 """
 
 
+def q_packed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized sequence packing: the corpus word stream (doc_id
+    order) cut into 256-token chunks, each chunk value-proved by the md5
+    of its joined token text.  One corpus-sized shuffle keyed by
+    chunk_id (fixed-size chunks ⇒ skew-impossible); offsets come from
+    the slim two-phase prefix sum, never moving the payload through
+    Python.  Exact vs the unnest-with-ordinality oracle."""
+    from cuckoofilter_spark.operators.pipeline import pack_chunks
+
+    docs = T(spark, sf_dir, "documents")
+    return pack_chunks(docs, seq_len=256, num_buckets=16)
+
+
+SQL_PACKED_CHUNKS = """
+WITH w AS (
+  SELECT doc_id, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
+        FROM documents)),
+tok AS (
+  SELECT CAST(floor((w.off + u.p - 1) / 256) AS BIGINT) AS chunk_id,
+         w.off + u.p - 1 AS pos, u.w
+  FROM w JOIN (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS p
+    FROM documents) u USING (doc_id))
+SELECT chunk_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+       md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_md5
+FROM tok GROUP BY chunk_id
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling: per-source keep rates
     (20/40/60/80% by source index mod 4) applied as an md5-threshold on
@@ -1981,6 +2014,7 @@ QUERIES = {
     "tokens_cf_build": q_tokens_cf_build,
     "decontaminate": q_decontaminate,
     "pack_sequences": q_pack_sequences,
+    "packed_chunks": q_packed_chunks,
     "stratified_sample": q_stratified_sample,
     "corpus_shuffle": q_corpus_shuffle,
     "balanced_buckets": q_balanced_buckets,
@@ -2037,6 +2071,7 @@ ORACLES = {
     "tokens_cf_build": SQL_TOKENS_CF_BUILD,
     "decontaminate": SQL_DECONTAMINATE,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "packed_chunks": SQL_PACKED_CHUNKS,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "corpus_shuffle": SQL_CORPUS_SHUFFLE,
     "balanced_buckets": SQL_BALANCED_BUCKETS,

@@ -104,6 +104,28 @@ def test_pack_sequences_covers_stream_exactly(spark, docs):
     assert (out["n_chunks"] == out["chunk_last"] - out["chunk_first"] + 1).all()
 
 
+def test_pack_chunks_content_exact(spark, docs):
+    """Every chunk is full except the last, totals match, and chunk 0's
+    digest equals the md5 of the first seq_len words computed directly."""
+    import hashlib
+
+    L = 128
+    out = P.pack_chunks(docs, seq_len=L).toPandas() \
+        .sort_values("chunk_id").reset_index(drop=True)
+    total = int(out["n_tok"].sum())
+    assert (out["n_tok"].iloc[:-1] == L).all()
+    assert 0 < int(out["n_tok"].iloc[-1]) <= L
+    assert len(out) == (total + L - 1) // L
+
+    stream = []
+    for r in docs.select("doc_id", "text").collect():
+        stream.append((r["doc_id"], r["text"]))
+    words = " ".join(t for _, t in sorted(stream)).split(" ")
+    assert total == len(words)
+    want = hashlib.md5(" ".join(words[:L]).encode()).hexdigest()
+    assert out["chunk_md5"].iloc[0] == want
+
+
 def test_prefix_sum_no_single_partition_sort(spark, docs):
     """The plan must not contain a global (single-partition) Sort — the
     whole point vs a bare ORDER BY window."""
@@ -179,6 +201,33 @@ def test_stratified_sample_salt_changes_sample(spark, docs):
     b = {r["doc_id"] for r in
          P.stratified_sample(docs, "source", rates, salt="v2").collect()}
     assert a != b
+
+
+def test_stratified_sample_is_shuffle_free(spark, docs):
+    """The rate map joins by broadcast and the hash filter is narrow —
+    zero shuffle exchanges in the plan."""
+    from cuckoofilter_spark.plans import count_exchanges
+
+    rates = {f"src{i}": 0.5 for i in range(20)}
+    assert count_exchanges(P.stratified_sample(docs, "source", rates)) == 0
+
+
+def test_shingles_linear_in_document_length(spark):
+    """Regression for the O(words²) inline-split re-evaluation: one
+    20k-word document shingles in well under a second warm (the broken
+    plan took ~125 s).  A 30 s ceiling leaves 50× margin for host
+    noise while still failing decisively if the quadratic returns."""
+    import time
+
+    from cuckoofilter_spark.operators.dedup import shingles
+
+    text = " ".join(f"w{i % 97}x{i % 89}" for i in range(20000))
+    big = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    q = shingles(big, n=5).agg(F.sum(F.col("gram") % 1000003))
+    q.collect()  # JIT/codegen warm-up
+    t0 = time.time()
+    q.collect()
+    assert time.time() - t0 < 30
 
 
 # ---------------------------------------------------------------------------
