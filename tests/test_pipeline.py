@@ -48,6 +48,23 @@ def test_decontaminate_planted_overlap(spark):
     assert rows == {100: 1}
 
 
+def test_decontaminate_plan_probes_before_join(spark, docs):
+    """The broadcast-filter probe must prune the train gram stream as a
+    narrow Filter BEFORE the exact verify join, and the whole operator
+    stays within its shuffle budget (bench distinct + join side +
+    final groupBy)."""
+    from cuckoofilter_spark.plans import count_exchanges, explain_str
+
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    out = P.decontaminate(spark, train, bench, n=5)
+    plan = explain_str(out, "simple")
+    probe = plan.find("Filter pythonUDF")
+    join = max(plan.find("BroadcastHashJoin"), plan.find("SortMergeJoin"))
+    assert probe != -1 and join != -1 and join < probe  # probe deeper (below)
+    assert count_exchanges(out) <= 3
+
+
 def test_decontaminate_no_collect_of_grams(spark, docs, monkeypatch):
     """The gram stream must never be collected — only scalar sizing
     aggregates and the ≤N-row result come to the driver."""
