@@ -1882,6 +1882,47 @@ FROM tok GROUP BY chunk_id
 """
 
 
+def q_packed_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator composition: one training EPOCH = deterministic corpus
+    shuffle (salted-hash order) feeding sequence packing — chunks are cut
+    over the PERMUTED document stream, so each epoch's packed sequences
+    differ by a salt change alone.  `pack_chunks(shuffle_rank(docs),
+    order_col="shuffle_rank")` verbatim; md5 content proofs as in
+    `packed_chunks`."""
+    from cuckoofilter_spark.operators.pipeline import pack_chunks, shuffle_rank
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    ranked = shuffle_rank(docs, "doc_id", salt="epoch1", num_buckets=16)
+    return pack_chunks(ranked, seq_len=256, order_col="shuffle_rank",
+                       num_buckets=16)
+
+
+SQL_PACKED_EPOCH = """
+WITH r AS (
+  SELECT doc_id, text,
+         ROW_NUMBER() OVER (
+           ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || '|epoch1'), 1, 15),
+                    doc_id) - 1 AS rk
+  FROM documents),
+w AS (
+  SELECT rk, n_tok,
+         COALESCE(SUM(n_tok) OVER (ORDER BY rk
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM (SELECT rk, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
+        FROM r)),
+tok AS (
+  SELECT CAST(floor((w.off + u.p - 1) / 256) AS BIGINT) AS chunk_id,
+         w.off + u.p - 1 AS pos, u.w
+  FROM w JOIN (
+    SELECT rk, unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS p
+    FROM r) u USING (rk))
+SELECT chunk_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+       md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_md5
+FROM tok GROUP BY chunk_id
+"""
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling: per-source keep rates
     (20/40/60/80% by source index mod 4) applied as an md5-threshold on
@@ -2015,6 +2056,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "pack_sequences": q_pack_sequences,
     "packed_chunks": q_packed_chunks,
+    "packed_epoch": q_packed_epoch,
     "stratified_sample": q_stratified_sample,
     "corpus_shuffle": q_corpus_shuffle,
     "balanced_buckets": q_balanced_buckets,
@@ -2072,6 +2114,7 @@ ORACLES = {
     "decontaminate": SQL_DECONTAMINATE,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "packed_chunks": SQL_PACKED_CHUNKS,
+    "packed_epoch": SQL_PACKED_EPOCH,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "corpus_shuffle": SQL_CORPUS_SHUFFLE,
     "balanced_buckets": SQL_BALANCED_BUCKETS,
