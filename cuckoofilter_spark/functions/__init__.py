@@ -1,1 +1,5 @@
-from cuckoofilter_spark.functions.registry import register_filter, register_sketch  # noqa: F401
+from cuckoofilter_spark.functions.registry import (  # noqa: F401
+    register_filter,
+    register_sketch,
+    register_sketch_aggs,
+)

@@ -70,3 +70,49 @@ def register_sketch(spark: SparkSession, sketch, name: str):
         raise ValueError(f"no SQL point-query shape for {kind}")
     spark.udf.register(name, fn)
     return fn
+
+
+def register_sketch_aggs(spark: SparkSession, name_ndv: str = "hll_ndv",
+                         name_quantile: str = "kll_quantile",
+                         p: int = 12, k: int = 200, seed: int = 7):
+    """Register the sketches as SQL AGGREGATE functions (grouped-agg
+    pandas UDAFs), so approximate aggregation is plain SQL text::
+
+        SELECT event_type, hll_ndv(user_id), kll_quantile(value, 0.5)
+        FROM events GROUP BY event_type
+
+    They also work over windows (``hll_ndv(x) OVER (PARTITION BY k)``).
+
+    Scale note: Spark executes grouped-agg pandas UDAFs by shuffling each
+    group's raw values to its reducer (no partial aggregation) — same
+    movement as ``sketch_groupby``'s direct path, with the same bounded
+    O(2^p)/O(k·log n) reducer state once there.  For skewed keys prefer
+    ``sketch_groupby.ndv_by_key(salt_buckets=...)``, which pre-merges
+    per-salt partials.
+    """
+    import numpy as np
+
+    from cuckoofilter_spark.sketches.hll import HyperLogLog
+    from cuckoofilter_spark.sketches.kll import KLLSketch
+
+    @pandas_udf("long")
+    def ndv_agg(v: pd.Series) -> int:
+        hll = HyperLogLog(p=p, seed=seed)
+        vals = v.to_numpy(dtype=np.int64, na_value=0)
+        if len(vals):
+            hll.update(vals)
+        return int(hll.estimate())
+
+    @pandas_udf("double")
+    def quantile_agg(v: pd.Series, q: pd.Series) -> float:
+        kll = KLLSketch(k=k, seed=seed)
+        vals = v.to_numpy(dtype=np.float64, na_value=np.nan)
+        vals = vals[~np.isnan(vals)]
+        if not len(vals):
+            return float("nan")
+        kll.update(vals)
+        return float(kll.quantile(float(q.iloc[0])))
+
+    spark.udf.register(name_ndv, ndv_agg)
+    spark.udf.register(name_quantile, quantile_agg)
+    return ndv_agg, quantile_agg

@@ -1947,6 +1947,51 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|v1'), 1, 8) <
 """
 
 
+def q_sql_sketch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketches as plain SQL TEXT: grouped-agg pandas UDAFs
+    (functions.register_sketch_aggs) make ``hll_ndv(col)`` and
+    ``kll_quantile(col, q)`` first-class SQL aggregates —
+    ``spark.sql("SELECT key, hll_ndv(v), kll_quantile(v, .5) …GROUP BY
+    key")`` with no DataFrame code.  Gated per key: HLL within 3σ of the
+    exact distinct count, and the median estimate's exact rank within
+    3× KLL rank error of 0.5."""
+    from cuckoofilter_spark.functions import register_sketch_aggs
+    from cuckoofilter_spark.sketches.kll import KLLSketch
+
+    register_sketch_aggs(spark)
+    T(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    est = spark.sql("""
+        SELECT event_type, hll_ndv(user_id) AS ndv_est,
+               kll_quantile(value, 0.5) AS med_est
+        FROM events_v GROUP BY event_type
+    """)
+    ev = T(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("ndv"), F.count("*").alias("n"))
+    ranks = (est.join(ev.select("event_type", "value"), "event_type")
+             .groupBy("event_type", "ndv_est", "med_est")
+             .agg(F.sum(F.when(F.col("value") <= F.col("med_est"), 1)
+                        .otherwise(0)).alias("r")))
+    rel = 3 * 1.04 / (1 << 12) ** 0.5
+    rb = 3 * KLLSketch(k=200).rank_error
+    joined = ranks.join(exact, "event_type")
+    return joined.select(
+        "event_type", F.col("ndv").cast("long").alias("exact_ndv"),
+        (F.abs(F.col("ndv_est") - F.col("ndv")) / F.col("ndv") <= rel)
+        .alias("ndv_within_3sigma"),
+        (F.abs(F.col("r") / F.col("n") - 0.5) <= rb)
+        .alias("median_within_rank_bound"),
+    ).orderBy("event_type")
+
+
+SQL_SQL_SKETCH_AGG = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_ndv,
+       CAST(TRUE AS BOOLEAN) AS ndv_within_3sigma,
+       CAST(TRUE AS BOOLEAN) AS median_within_rank_bound
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-order shuffle: every doc ranked by the
     salted md5 of its key — reproducible across engines (the oracle
@@ -2060,6 +2105,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "corpus_shuffle": q_corpus_shuffle,
     "balanced_buckets": q_balanced_buckets,
+    "sql_sketch_agg": q_sql_sketch_agg,
 }
 
 ORACLES = {
@@ -2118,4 +2164,5 @@ ORACLES = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "corpus_shuffle": SQL_CORPUS_SHUFFLE,
     "balanced_buckets": SQL_BALANCED_BUCKETS,
+    "sql_sketch_agg": SQL_SQL_SKETCH_AGG,
 }

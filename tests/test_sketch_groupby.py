@@ -65,3 +65,30 @@ def test_quantiles_by_key_within_rank_bound(spark, sf01_dir):
         grp = pdf[pdf["event_type"] == r["event_type"]]["value"]
         rank = (grp <= r["quantile_estimate"]).mean()
         assert abs(rank - r["q_x100"] / 100.0) <= bound, r
+
+
+def test_sql_udaf_surface(spark, sf01_dir):
+    """Grouped-agg pandas UDAFs registered for SQL: hll_ndv / kll_quantile
+    usable in plain SQL GROUP BY text, estimates within bound."""
+    from cuckoofilter_spark.functions import register_sketch_aggs
+    from pyspark.sql import functions as F
+
+    register_sketch_aggs(spark)
+    ev = spark.read.parquet(f"{sf01_dir}/events.parquet")
+    ev.createOrReplaceTempView("events_udaf_t")
+    got = spark.sql(
+        "SELECT event_type, hll_ndv(user_id) AS ndv,"
+        "       kll_quantile(value, 0.5) AS med "
+        "FROM events_udaf_t GROUP BY event_type").collect()
+    exact = {r["event_type"]: (r["ndv"], r["n"]) for r in
+             ev.groupBy("event_type").agg(
+                 F.countDistinct("user_id").alias("ndv"),
+                 F.count("*").alias("n")).collect()}
+    rel = 3 * 1.04 / (1 << 12) ** 0.5
+    assert len(got) == len(exact)
+    for r in got:
+        ndv, n = exact[r["event_type"]]
+        assert abs(r["ndv"] - ndv) / ndv <= rel
+        rank = ev.filter((F.col("event_type") == r["event_type"])
+                         & (F.col("value") <= r["med"])).count()
+        assert abs(rank / n - 0.5) <= 3 * 2.21 / 200
