@@ -316,3 +316,43 @@ def stratified_sample(docs: DataFrame, stratum_col: str,
     return (docs.join(F.broadcast(thr), stratum_col)
             .filter(h < F.col("_thr"))
             .drop("_thr"))
+
+
+def mix_sources(docs: DataFrame, stratum_col: str = "source",
+                key_col: str = "doc_id", salt: str = "mix1") -> DataFrame:
+    """Temperature-weighted source mixing (α = 0.5): downsample each
+    source so sampled counts are ∝ √n_s — the standard multilingual /
+    multi-source pretraining re-balancing (e.g. the mixture rule in XLM-R
+    and mT5: p_s ∝ n_s^α flattens the head so big crawls don't drown
+    small sources).  The smallest source keeps ~everything; a source 100×
+    larger keeps ~10× the rows (not 100×).
+
+    Every quantity is INTEGER, so the sample is bit-reproducible across
+    engines (the oracle recomputes it in SQL): with
+    ``q_s = floor(√n_s)`` and ``h`` the first 8 md5 hex digits of
+    ``key || '|' || salt`` as a uint32, a row survives iff
+
+        ``h · q_s  <  2^32 · min_s q_s``
+
+    i.e. per-source keep rate ``q_min / q_s`` applied as a pure-integer
+    comparison on a content hash — stable under reruns, partitioning
+    changes and (unlike RNG sampling) corpus growth within a source.
+
+    Plan shape at 100 TB: one tiny per-source count aggregate (|sources|
+    rows), broadcast back, then a narrow filter on the scan — no data
+    shuffle.  floor(√n) on a BIGINT count is exact in IEEE double for
+    n < 2^52 (√ is correctly rounded and non-squares never round onto an
+    integer), which covers any per-source count a real corpus can reach.
+    """
+    counts = (docs.groupBy(stratum_col).count()
+              .select(F.col(stratum_col),
+                      F.floor(F.sqrt(F.col("count"))).cast("long").alias("_q")))
+    qmin = counts.agg(F.min("_q")).collect()[0][0]
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(key_col).cast("string"), F.lit("|" + salt))),
+            1, 8),
+        16, 10).cast("long")
+    return (docs.join(F.broadcast(counts), stratum_col)
+            .filter(h * F.col("_q") < F.lit((1 << 32) * int(qmin)))
+            .drop("_q"))

@@ -40,10 +40,17 @@ def word_ngrams(ws: Column, n: int) -> Column:
     inline expression like ``F.split(text)`` — the transform lambda
     indexes into *ws* via ``element_at`` once per position, and codegen
     re-evaluates an inline expression on every call: O(words²) per
-    document (quadratic-split measurement in ``dedup.shingles``)."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(0)))
+    document (quadratic-split measurement in ``dedup.shingles``).
+
+    Guarded for short documents: ``sequence(1, 0)`` in Spark DESCENDS to
+    ``[1, 0]`` (it is not an empty range), which would push ``element_at``
+    out of bounds — docs with fewer than *n* words take the empty-array
+    branch instead."""
+    idx = F.sequence(F.lit(1), F.size(ws) - (n - 1))
     parts = lambda i: [F.element_at(ws, i + j) for j in range(n)]  # noqa: E731
-    return F.transform(idx, lambda i: F.concat_ws("\x01", *parts(i)))
+    grams = F.transform(idx, lambda i: F.concat_ws("\x01", *parts(i)))
+    return F.when(F.size(ws) >= n, grams).otherwise(
+        F.array().cast("array<string>"))
 
 
 def _count_in(ws: Column, vocab: tuple[str, ...]) -> Column:
@@ -129,6 +136,82 @@ def rolling_fingerprint(docs: DataFrame, text_col: str = "text",
         codes, F.lit(0).cast("long"),
         lambda acc, c: F.pmod(acc * mult + c, F.lit(mod)))
     return docs.select("doc_id", fp.alias("rolling_fp"))
+
+
+def _max_group_size(arr: Column) -> Column:
+    """Largest multiplicity of any value in a SORTED array — a single
+    O(n) JVM ``aggregate`` pass (state: previous value, current run, best
+    run).  No explode, no shuffle."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"), F.lit(0).alias("best"))
+    def step(acc: Column, w: Column) -> Column:
+        nr = F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(w.alias("prev"), nr.alias("run"),
+                        F.greatest(acc["best"], nr).alias("best"))
+    return F.aggregate(arr, init, step, lambda acc: acc["best"])
+
+
+def _singleton_count(arr: Column) -> Column:
+    """Number of values occurring EXACTLY once in a SORTED array (same
+    single-pass aggregate shape as :func:`_max_group_size`)."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"), F.lit(0).alias("singles"))
+    def step(acc: Column, w: Column) -> Column:
+        same = w == acc["prev"]
+        closed = F.when(acc["run"] == 1, 1).otherwise(0)
+        return F.struct(
+            w.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(same, acc["singles"])
+            .otherwise(acc["singles"] + closed).alias("singles"))
+    fin = lambda acc: acc["singles"] + F.when(acc["run"] == 1, 1).otherwise(0)  # noqa: E731
+    return F.aggregate(arr, init, step, fin)
+
+
+def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    'Scaling Language Models', table A1 — the repetition-removal family of
+    pretraining quality filters), word-count flavored so every ratio is
+    integer-exact:
+
+    - ``top_word_frac_x1e4`` — share of words taken by the single most
+      frequent word;
+    - ``dup_2gram_frac_x1e4`` / ``dup_3gram_frac_x1e4`` — share of n-gram
+      positions whose n-gram occurs more than once in the document;
+    - ``repetitive`` — the filter verdict (top word > 20 % or duplicate
+      3-grams > 30 %).
+
+    Plan shape: narrow map only.  Per-document multiplicities come from
+    ``array_sort`` + one O(n) ``aggregate`` pass per signal — NOT from
+    explode + groupBy, so a 100 TB corpus pays zero shuffle (the classic
+    explode-on-shingles plan shuffles the whole corpus re-keyed by gram).
+    Cost is O(words · log words) per row inside whole-stage codegen.
+    Sorted arrays are bound behind a projection per the ``word_ngrams``
+    re-evaluation hazard."""
+    bound = docs.select(F.col("doc_id"), words(F.col(text_col)).alias("ws"))
+    sorted_ = bound.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        F.array_sort("ws").alias("sw"),
+        F.array_sort(word_ngrams(F.col("ws"), 2)).alias("s2"),
+        F.array_sort(word_ngrams(F.col("ws"), 3)).alias("s3"),
+    )
+    def dup_frac(arr: str) -> Column:
+        n = F.size(arr).cast("long")
+        dup = n - _singleton_count(F.col(arr)).cast("long")
+        return F.when(n > 0, F.floor(dup * 10000 / n)).otherwise(F.lit(0)).cast("long")
+    out = sorted_.select(
+        "doc_id", "n_words",
+        F.floor(_max_group_size(F.col("sw")).cast("long") * 10000 / F.col("n_words"))
+        .cast("long").alias("top_word_frac_x1e4"),
+        dup_frac("s2").alias("dup_2gram_frac_x1e4"),
+        dup_frac("s3").alias("dup_3gram_frac_x1e4"),
+    )
+    return out.withColumn(
+        "repetitive",
+        (F.col("top_word_frac_x1e4") > 2000) | (F.col("dup_3gram_frac_x1e4") > 3000))
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -2049,6 +2049,96 @@ SELECT CAST(TRUE AS BOOLEAN) AS all_buckets_within_bound,
 """
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition quality signals (top-word
+    share, duplicate 2-/3-gram share, ×1e4 integer-exact) — the
+    repetition-removal family of pretraining filters.  Shuffle-FREE plan:
+    per-doc multiplicities via ``array_sort`` + O(n) JVM ``aggregate``
+    passes, never explode+groupBy, so at 100 TB the stage is a narrow map
+    over the scan.  The oracle recomputes every ratio with explode-style
+    SQL — structurally different arithmetic path, identical integers."""
+    return TX.repetition_signals(T(spark, sf_dir, "documents"))
+
+
+SQL_REPETITION_SIGNALS = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents),
+wc AS (
+  SELECT doc_id, MAX(c) AS maxw FROM (
+    SELECT doc_id, w, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(ws) AS w FROM base)
+    GROUP BY doc_id, w)
+  GROUP BY doc_id),
+g2 AS (
+  SELECT doc_id, SUM(c) FILTER (WHERE c >= 2) AS dup, SUM(c) AS tot FROM (
+    SELECT doc_id, g, COUNT(*) AS c FROM (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+                     i -> ws[i] || chr(1) || ws[i + 1])) AS g
+      FROM base)
+    GROUP BY doc_id, g)
+  GROUP BY doc_id),
+g3 AS (
+  SELECT doc_id, SUM(c) FILTER (WHERE c >= 2) AS dup, SUM(c) AS tot FROM (
+    SELECT doc_id, g, COUNT(*) AS c FROM (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 2),
+                     i -> ws[i] || chr(1) || ws[i + 1] || chr(1) || ws[i + 2])) AS g
+      FROM base)
+    GROUP BY doc_id, g)
+  GROUP BY doc_id)
+SELECT b.doc_id, b.n AS n_words,
+       CAST(floor(wc.maxw * 10000 / b.n) AS BIGINT) AS top_word_frac_x1e4,
+       CAST(COALESCE(floor(g2.dup * 10000 / g2.tot), 0) AS BIGINT) AS dup_2gram_frac_x1e4,
+       CAST(COALESCE(floor(g3.dup * 10000 / g3.tot), 0) AS BIGINT) AS dup_3gram_frac_x1e4,
+       (CAST(floor(wc.maxw * 10000 / b.n) AS BIGINT) > 2000 OR
+        CAST(COALESCE(floor(g3.dup * 10000 / g3.tot), 0) AS BIGINT) > 3000) AS repetitive
+FROM base b JOIN wc USING (doc_id)
+LEFT JOIN g2 USING (doc_id)
+LEFT JOIN g3 USING (doc_id)
+"""
+
+
+def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing (α = 0.5, the XLM-R/mT5
+    p_s ∝ n_s^α re-balancing): each source keeps rate q_min/q_s with
+    q_s = floor(√n_s), applied as a PURE-INTEGER comparison on a content
+    hash (h·q_s < 2^32·q_min) — so the sample is bit-reproducible across
+    engines/partitionings and stable under reruns, unlike RNG sampling.
+    Plan: tiny per-source count agg, broadcast back, narrow filter — no
+    data shuffle at 100 TB.
+
+    The synthetic corpus is perfectly source-balanced (all rates would be
+    1), so the query first folds src0–src9 into one 10×-larger 'web'
+    stratum — the mixer must then keep the small sources whole while
+    cutting 'web' to ≈ q_small/q_web of itself."""
+    from cuckoofilter_spark.operators.pipeline import mix_sources
+
+    docs = T(spark, sf_dir, "documents").withColumn(
+        "stratum",
+        F.when(F.substring("source", 4, 8).cast("int") < 10, F.lit("web"))
+        .otherwise(F.col("source")))
+    return mix_sources(docs, stratum_col="stratum").select(
+        "doc_id", "source", "stratum")
+
+
+SQL_MIX_SOURCES = """
+WITH d AS (
+  SELECT doc_id, source,
+         CASE WHEN CAST(substr(source, 4) AS INT) < 10
+              THEN 'web' ELSE source END AS stratum
+  FROM documents),
+c AS (
+  SELECT stratum, CAST(floor(sqrt(COUNT(*))) AS BIGINT) AS q
+  FROM d GROUP BY stratum),
+m AS (SELECT MIN(q) AS qmin FROM c)
+SELECT d.doc_id, d.source, d.stratum
+FROM d JOIN c USING (stratum) CROSS JOIN m
+WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR) || '|mix1'), 1, 8)) AS BIGINT) * c.q
+      < 4294967296 * m.qmin
+"""
+
+
 QUERIES = {
     "cf_member_parts": q_cf_member_parts,
     "cf_build_fpr": q_cf_build_fpr,
@@ -2106,6 +2196,8 @@ QUERIES = {
     "corpus_shuffle": q_corpus_shuffle,
     "balanced_buckets": q_balanced_buckets,
     "sql_sketch_agg": q_sql_sketch_agg,
+    "repetition_signals": q_repetition_signals,
+    "mix_sources": q_mix_sources,
 }
 
 ORACLES = {
@@ -2165,4 +2257,6 @@ ORACLES = {
     "corpus_shuffle": SQL_CORPUS_SHUFFLE,
     "balanced_buckets": SQL_BALANCED_BUCKETS,
     "sql_sketch_agg": SQL_SQL_SKETCH_AGG,
+    "repetition_signals": SQL_REPETITION_SIGNALS,
+    "mix_sources": SQL_MIX_SOURCES,
 }

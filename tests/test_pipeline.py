@@ -266,3 +266,56 @@ def test_quantile_buckets_partition_and_balance(spark, sf_dir):
     slack = 6 * sk.rank_error * n
     for b in range(B):
         assert abs(counts.get(b, 0) - n / B) <= slack
+
+
+# ---------------------------------------------------------------------------
+# mix_sources (temperature-weighted source mixing)
+# ---------------------------------------------------------------------------
+
+def test_mix_sources_integer_rule_reproducible_in_python(spark):
+    """The survivor set is exactly the pure-integer rule h·q_s < 2^32·q_min
+    recomputed independently in Python — bit-reproducibility across
+    engines, which is the operator's whole contract."""
+    import hashlib
+    import math
+
+    rows = [(i, "big") for i in range(900)] + [(900 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = {r["doc_id"] for r in P.mix_sources(df).collect()}
+
+    q = {"big": math.isqrt(900), "small": math.isqrt(100)}
+    qmin = min(q.values())
+    expect = set()
+    for i, s in rows:
+        h = int(hashlib.md5(f"{i}|mix1".encode()).hexdigest()[:8], 16)
+        if h * q[s] < (1 << 32) * qmin:
+            expect.add(i)
+    assert kept == expect
+    # smallest source keeps everything; big is cut to ~q_min/q_big = 1/3
+    assert {i for i in kept if i >= 900} == set(range(900, 1000))
+    n_big = sum(1 for i in kept if i < 900)
+    assert abs(n_big - 300) <= 4 * (900 * (1 / 3) * (2 / 3)) ** 0.5
+
+
+def test_mix_sources_sqrt_mixture_shape(spark):
+    """Sampled counts follow the α=0.5 temperature: a 100×-larger source
+    contributes ~10× the rows, not 100×."""
+    rows = [(i, "xl") for i in range(10000)] + [(10000 + i, "xs") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    per = {r["source"]: r["c"] for r in
+           P.mix_sources(df).groupBy("source").agg(F.count("*").alias("c")).collect()}
+    assert per["xs"] == 100
+    # expected xl keep ≈ 10000·(10/100) = 1000 → ratio ≈ 10×, not 100×
+    assert 800 <= per["xl"] <= 1200
+
+
+def test_mix_sources_single_small_shuffle(spark, docs):
+    """Only the |sources|-row count aggregate shuffles; the corpus-side
+    filter is a broadcast join + narrow filter."""
+    from cuckoofilter_spark.plans import count_exchanges
+
+    out = P.mix_sources(docs)
+    # the tiny groupBy(count) pair of exchanges is the only shuffle; the
+    # docs-side path must contribute none (no repartition of the corpus)
+    assert count_exchanges(out) <= 2
+    assert "BroadcastExchange" in out._jdf.queryExecution().executedPlan().toString()

@@ -1,0 +1,80 @@
+"""Gopher-style repetition signals: exact values on hand-computed docs,
+shuffle-free plan, and agreement with an explode+groupBy re-derivation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cuckoofilter_spark.operators.text import repetition_signals
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    rows = [
+        # all-same word: every signal saturates
+        (1, "a a a a"),
+        # distinct words: top word 1/6, no duplicate grams
+        (2, "a b c d e f"),
+        # "a b" repeated 3x: dup 2-grams dominate
+        (3, "a b a b a b"),
+        # single word: no grams at all
+        (4, "solo"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_signals_exact_values(toy):
+    got = {r["doc_id"]: r.asDict() for r in repetition_signals(toy).collect()}
+    assert got[1] == dict(doc_id=1, n_words=4, top_word_frac_x1e4=10000,
+                          dup_2gram_frac_x1e4=10000, dup_3gram_frac_x1e4=10000,
+                          repetitive=True)
+    assert got[2] == dict(doc_id=2, n_words=6, top_word_frac_x1e4=1666,
+                          dup_2gram_frac_x1e4=0, dup_3gram_frac_x1e4=0,
+                          repetitive=False)
+    # doc 3: words a×3 b×3 → top 5000; 2-grams [ab,ba,ab,ba,ab] → all 5 dup;
+    # 3-grams [aba,bab,aba,bab] → all 4 dup
+    assert got[3] == dict(doc_id=3, n_words=6, top_word_frac_x1e4=5000,
+                          dup_2gram_frac_x1e4=10000, dup_3gram_frac_x1e4=10000,
+                          repetitive=True)
+    assert got[4] == dict(doc_id=4, n_words=1, top_word_frac_x1e4=10000,
+                          dup_2gram_frac_x1e4=0, dup_3gram_frac_x1e4=0,
+                          repetitive=True)
+
+
+def test_repetition_signals_match_explode_groupby(spark, sf_dir):
+    """The sorted-array aggregate pass must equal the classic (shuffling)
+    explode + groupBy multiplicity computation on real corpus docs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(80)
+    got = {r["doc_id"]: (r["top_word_frac_x1e4"], r["dup_3gram_frac_x1e4"])
+           for r in repetition_signals(docs).collect()}
+
+    ws = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    n = {r["doc_id"]: r["n"] for r in
+         ws.select("doc_id", F.size("ws").alias("n")).collect()}
+    top = {r["doc_id"]: r["m"] for r in
+           (ws.select("doc_id", F.explode("ws").alias("w"))
+            .groupBy("doc_id", "w").count()
+            .groupBy("doc_id").agg(F.max("count").alias("m")).collect())}
+    g3 = ws.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size("ws") - 2, F.lit(0))),
+            lambda i: F.concat_ws("\x01", F.element_at("ws", i),
+                                  F.element_at("ws", i + 1),
+                                  F.element_at("ws", i + 2)))).alias("g"))
+    dup3 = {r["doc_id"]: (r["dup"] or 0, r["tot"]) for r in
+            (g3.groupBy("doc_id", "g").count()
+             .groupBy("doc_id")
+             .agg(F.sum(F.when(F.col("count") >= 2, F.col("count"))).alias("dup"),
+                  F.sum("count").alias("tot")).collect())}
+    for d, (tw, d3) in got.items():
+        assert tw == top[d] * 10000 // n[d]
+        dd, tt = dup3[d]
+        assert d3 == (dd * 10000 // tt if tt else 0)
+
+
+def test_repetition_signals_shuffle_free(spark, sf01_dir):
+    from cuckoofilter_spark.plans import count_exchanges, read_schema_columns
+
+    df = repetition_signals(spark.read.parquet(f"{sf01_dir}/documents.parquet"))
+    assert count_exchanges(df) == 0
+    assert read_schema_columns(df) == ["doc_id", "text"]
