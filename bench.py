@@ -48,6 +48,10 @@ SCALE_HI = int(os.environ.get("SPARK_GRAFT_SCALE_HI", "8"))
 #: isolated-process attempts for the headline number (best + band recorded)
 HEADLINE_RUNS = int(os.environ.get("SPARK_GRAFT_HEADLINE_RUNS", "3"))
 
+#: isolated-process passes over the query suite (per-query min + band):
+#: single draws read the host's minute-scale steal waves, not the plans
+QUERY_RUNS = int(os.environ.get("SPARK_GRAFT_QUERY_RUNS", "2"))
+
 def bench_queries() -> list[str]:
     """Every registered query, deterministic order — the suite is the
     benchmark, so additions are timed automatically."""
@@ -154,6 +158,45 @@ def run_at_isolated(cpus: int, n_docs: int) -> tuple[float, int, str]:
                        f"{out.stderr[-500:]}")
 
 
+def run_queries_once() -> dict[str, float]:
+    """One cold-session pass over every registered query (the round-2
+    measurement semantics: shared family builds are paid by the first
+    query that needs them)."""
+    from cuckoofilter_spark.queries import QUERIES
+    from cuckoofilter_spark.session import get_spark
+
+    spark = get_spark("bench-queries", master=f"local[{CPUS}]")
+    # warm the session (scan + python workers + broadcast machinery) so the
+    # alphabetically-first query isn't charged the cold start
+    spark.read.parquet(f"{SF_DIR}/part.parquet").count()
+    QUERIES["hll_ndv"](spark, SF_DIR).count()
+    qtimes = {}
+    for name in bench_queries():
+        t0 = time.time()
+        n = QUERIES[name](spark, SF_DIR).count()
+        qtimes[name] = round(time.time() - t0, 3)
+        assert n >= 0
+    spark.stop()
+    return qtimes
+
+
+def run_queries_isolated() -> dict[str, float]:
+    """run_queries_once in a fresh subprocess (persisted shingle/pair
+    relations are per-process, so an in-process repeat would time the warm
+    path instead of the query)."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--run-queries"],
+        capture_output=True, text=True, check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)))
+    for line in out.stdout.splitlines():
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"no result from subprocess: {out.stdout[-500:]}\n"
+                       f"{out.stderr[-500:]}")
+
+
 def main() -> None:
     sf = sf_of(SF_DIR)
     result: dict = {"metric": "cf_build_merge_tokens_per_sec", "unit": "tokens/sec",
@@ -197,22 +240,24 @@ def main() -> None:
         }
 
     # -- query suite -------------------------------------------------------
-    from cuckoofilter_spark.queries import QUERIES
-    from cuckoofilter_spark.session import get_spark
-
-    spark = get_spark("bench-queries", master=f"local[{CPUS}]")
-    # warm the session (scan + python workers + broadcast machinery) so the
-    # alphabetically-first query isn't charged the cold start
-    spark.read.parquet(f"{SF_DIR}/part.parquet").count()
-    QUERIES["hll_ndv"](spark, SF_DIR).count()
-    qtimes = {}
-    for name in bench_queries():
-        t0 = time.time()
-        n = QUERIES[name](spark, SF_DIR).count()
-        qtimes[name] = round(time.time() - t0, 3)
-        assert n >= 0
-    spark.stop()
-    result["queries"] = qtimes
+    # QUERY_RUNS isolated passes (fresh process each — the per-process
+    # shingle/pair persists make an in-process repeat measure the warm
+    # path, not the query), per-query MIN recorded: this host's hypervisor
+    # steal waves inflate single wall-time draws 2-5× for minutes at a
+    # stretch (BENCH/BASELINE.md), so one draw per query reads the wave,
+    # not the plan.  Each pass keeps round-2 semantics (cold session,
+    # first query in a family pays the shared build).
+    suite_totals = []
+    merged: dict[str, float] = {}
+    for _ in range(QUERY_RUNS):
+        qtimes = run_queries_isolated()
+        suite_totals.append(round(sum(qtimes.values()), 1))
+        for k, v in qtimes.items():
+            merged[k] = min(v, merged.get(k, v))
+    result["queries"] = merged
+    result["queries_band"] = {"runs": len(suite_totals),
+                              "suite_sec_all": suite_totals,
+                              "suite_sec_min": round(sum(merged.values()), 1)}
 
     print(json.dumps(result))
 
@@ -221,5 +266,7 @@ if __name__ == "__main__":
     if len(sys.argv) >= 4 and sys.argv[1] == "--run-one":
         sec, n, digest = run_at(int(sys.argv[2]), int(sys.argv[3]))
         print(json.dumps({"sec": sec, "n_tokens": n, "digest": digest}))
+    elif len(sys.argv) >= 2 and sys.argv[1] == "--run-queries":
+        print(json.dumps(run_queries_once()))
     else:
         main()
