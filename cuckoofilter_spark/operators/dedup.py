@@ -355,3 +355,94 @@ def simhash_candidates(sig: DataFrame, max_hamming: int = 3,
         .filter(F.col("hamming") <= max_hamming)
         .select("d1", "d2", F.col("hamming").cast("long").alias("hamming"))
     )
+
+
+# -- passage-level dedup ------------------------------------------------------
+
+def passage_dedup(docs: DataFrame, passage_words: int = 10,
+                  min_count: int = 2, text_col: str = "text") -> DataFrame:
+    """Cross-document PASSAGE dedup (RefinedWeb/CCNet line-dedup analog at
+    a fixed word granularity): cut every document into consecutive
+    ``passage_words``-word passages, find passages occurring ≥
+    ``min_count`` times corpus-wide, and rebuild each document with those
+    boilerplate passages removed.  Complements whole-doc dedup (exact /
+    MinHash) — it strips repeated fragments (headers, license blocks,
+    navigation chrome) out of otherwise-unique documents.
+
+    Output: (doc_id, n_passages, n_dup, cleaned_digest) where
+    ``cleaned_digest`` is the md5 of the surviving passages joined in
+    original order — a value-exact proof of the cleaned text without
+    shipping it.
+
+    Scale design (100 TB story):
+    - Passage construction is NARROW and in-row (``slice`` over a bound
+      split column — see the quadratic-split hazard note on
+      ``word_ngrams``); nothing is exploded until passages are hashed.
+    - Duplicate discovery is ONE map-side-combinable count on the 8-byte
+      ``xxhash64`` passage digest — the shuffle moves (long, count)
+      pairs, never passage text, and hash keys are uniform so the
+      aggregation is skew-free by construction.
+    - The per-doc duplicate-set join keys on the digest; the duplicate
+      table is the output of a HAVING-count aggregate (boilerplate ≪
+      corpus), so AQE broadcasts it on the common path.  The final
+      doc_id join attaches each doc's (tiny) dup-digest array back to
+      the original row, and the rebuild is again in-row: text re-enters
+      no shuffle when the dup side broadcasts.
+    - 64-bit digest collisions merge distinct passages with probability
+      ~n²/2⁶⁵ (same argument as ``shingles``); the oracle gate
+      cross-checks the string-side computation end to end.
+    """
+    pre = docs.select("doc_id", words(F.col(text_col)).alias("_ws"))
+    ws = F.col("_ws")
+    npass = F.ceil(F.size(ws) / F.lit(passage_words)).cast("int")
+    pl = F.transform(
+        F.sequence(F.lit(1), npass),
+        lambda i: F.array_join(
+            F.slice(ws, (i - 1) * passage_words + 1, passage_words), " "))
+    pre = pre.select("doc_id", pl.alias("_pl"))
+
+    exploded = pre.select(
+        "doc_id",
+        F.explode(F.transform("_pl", lambda p: F.xxhash64(p))).alias("digest"))
+    dup = (exploded.groupBy("digest").agg(F.count("*").alias("cnt"))
+           .filter(F.col("cnt") >= min_count).select("digest"))
+    doc_dups = (exploded.join(dup, "digest")
+                .groupBy("doc_id")
+                .agg(F.collect_set("digest").alias("_dup")))
+
+    joined = pre.join(doc_dups, "doc_id", "left")
+    kept = F.filter(
+        F.col("_pl"),
+        lambda p: ~F.coalesce(
+            F.array_contains(F.col("_dup"), F.xxhash64(p)), F.lit(False)))
+    staged = joined.select(
+        "doc_id", F.size("_pl").cast("long").alias("n_passages"),
+        kept.alias("_kept"))
+    return staged.select(
+        "doc_id", "n_passages",
+        (F.col("n_passages") - F.size("_kept")).cast("long").alias("n_dup"),
+        F.md5(F.encode(F.array_join("_kept", " "), "UTF-8"))
+        .alias("cleaned_digest"))
+
+
+# -- token-sequence shingles (input_hint table) -------------------------------
+
+def token_shingles(df: DataFrame, n: int = 3, tokens_col: str = "tokens",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Distinct token n-gram shingles per sequence: (doc_id, gram) over the
+    north-rule token table ``(doc_id, tokens:array<int32>, ...)`` — the
+    token-ID analog of :func:`shingles`, feeding the same MinHash / LSH /
+    verify machinery so near-dup detection runs directly on pre-tokenized
+    training sequences (no text detour).
+
+    ``gram`` is ``xxhash64(t_i, …, t_{i+n-1})`` computed in-row over a
+    BOUND tokens column (see the quadratic re-evaluation hazard on
+    ``word_ngrams``), deduped narrow via ``array_distinct``, then exploded
+    — shuffle-free, and downstream joins move 8-byte longs."""
+    pre = df.select(id_col, F.col(tokens_col).alias("_ts"))
+    ts = F.col("_ts")
+    idx = F.sequence(F.lit(1), F.size(ts) - (n - 1))
+    grams = F.array_distinct(F.transform(
+        idx, lambda i: F.xxhash64(*[F.element_at(ts, i + j) for j in range(n)])))
+    return (pre.filter(F.size(ts) >= n)
+            .select(id_col, F.explode(grams).alias("gram")))

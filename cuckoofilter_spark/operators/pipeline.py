@@ -95,7 +95,7 @@ def decontaminate(spark: SparkSession, train: DataFrame, bench: DataFrame,
 # ---------------------------------------------------------------------------
 
 def quantile_buckets(df: DataFrame, col: str, num_buckets: int,
-                     k: int = 512) -> tuple[list[float], DataFrame]:
+                     k: int = 512) -> tuple:
     """Assign each row a range bucket ``0..num_buckets-1`` over *col*
     using boundary quantiles read off one merged KLL sketch.
 
@@ -210,12 +210,17 @@ def pack_sequences(docs: DataFrame, seq_len: int,
 
 def pack_chunks(docs: DataFrame, seq_len: int,
                 order_col: str = "doc_id", text_col: str = "text",
-                num_buckets: int = 32) -> DataFrame:
+                num_buckets: int = 32,
+                tokens_col: str | None = None) -> DataFrame:
     """Materialize the packed training sequences: concatenate documents'
     whitespace tokens in *order_col* order into one global stream and
     emit one row per ``seq_len``-token chunk with the chunk's token
     count and an md5 digest of the joined token text (the content-level
     proof of correct packing; a writer would emit the tokens themselves).
+
+    With ``tokens_col`` set, packing runs over PRE-TOKENIZED sequences
+    (the input_hint table's ``tokens:array<int32>``) instead of splitting
+    text — token ids are stringified only inside the per-chunk digest.
 
     Plan: per-doc token arrays (narrow) → global offsets via
     :func:`prefix_sum` (two tiny jobs) → posexplode to
@@ -225,7 +230,12 @@ def pack_chunks(docs: DataFrame, seq_len: int,
     each token once, chunk sizes are fixed at ``seq_len``, and skew is
     impossible by construction (every chunk is the same size).
     """
-    ws = docs.select(order_col, F.split(F.col(text_col), " ").alias("_ws"))
+    if tokens_col is None:
+        arr = F.split(F.col(text_col), " ")
+    else:
+        arr = F.transform(F.col(tokens_col),
+                          lambda t: t.cast("string"))
+    ws = docs.select(order_col, arr.alias("_ws"))
     # offsets are computed on the SLIM (order, weight) relation — the
     # token payload never rides through the prefix-sum's Python stage;
     # it rejoins JVM-side by key (co-partitioned shuffle at scale)
@@ -356,3 +366,48 @@ def mix_sources(docs: DataFrame, stratum_col: str = "source",
     return (docs.join(F.broadcast(counts), stratum_col)
             .filter(h * F.col("_q") < F.lit((1 << 32) * int(qmin)))
             .drop("_q"))
+
+
+# ---------------------------------------------------------------------------
+# corpus-level rarity (perplexity-filter analog)
+# ---------------------------------------------------------------------------
+
+def rare_bigrams(docs: DataFrame, rare_max: int = 2,
+                 text_col: str = "text") -> DataFrame:
+    """Corpus-conditioned rarity signal — the integer-exact analog of
+    CCNet-style perplexity filtering: per document, the share of word
+    bigrams whose CORPUS frequency is ≤ ``rare_max``.  A document whose
+    bigrams the rest of the corpus never repeats is either novel or noise;
+    either way it is what an LM-based quality filter keys on, computed
+    here from the corpus itself (no external model).
+
+    Output: (doc_id, n_bigrams, n_rare, rare_ratio_x1e4) — integer-scaled,
+    engine-reproducible.
+
+    Scale design: bigrams are hashed in-row to 8-byte longs (bound-split
+    projection — see the quadratic hazard on ``word_ngrams``), so the two
+    shuffles move longs only: (1) a map-side-combinable ``groupBy(gram)``
+    count, (2) the gram→count join back (uniform hash keys; a hot bigram
+    is one build-side row replicated by the join, and AQE splits any
+    skewed probe partition) followed by a per-doc re-aggregation.  Nothing
+    materializes gram strings off-row."""
+    from cuckoofilter_spark.operators.text import word_ngrams, words
+
+    pre = docs.select("doc_id", words(F.col(text_col)).alias("_ws"))
+    ws = F.col("_ws")
+    grams = F.transform(word_ngrams(ws, 2), lambda g: F.xxhash64(g))
+    ex = pre.filter(F.size(ws) >= 2).select(
+        "doc_id", F.explode(grams).alias("g"))
+    counts = ex.groupBy("g").agg(F.count("*").alias("cnt"))
+    return (
+        ex.join(counts, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("_n"),
+             F.sum(F.when(F.col("cnt") <= rare_max, 1).otherwise(0))
+             .alias("_r"))
+        .select("doc_id",
+                F.col("_n").cast("long").alias("n_bigrams"),
+                F.col("_r").cast("long").alias("n_rare"),
+                F.floor(F.col("_r") * 10000 / F.col("_n")).cast("long")
+                .alias("rare_ratio_x1e4"))
+    )

@@ -638,6 +638,38 @@ WHERE d.doc_id >= {INGEST_SPLIT}
 """
 
 
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document passage dedup (RefinedWeb-style boilerplate
+    removal): 10-word passages occurring ≥2× corpus-wide are stripped
+    from every document; the md5 of each surviving document proves the
+    cleaned content byte-exactly against the string-side oracle.
+    Duplicate discovery shuffles 8-byte passage hashes only (map-side
+    combined count); the rebuild is in-row once each doc's dup-digest
+    array is attached (operators/dedup.py:passage_dedup)."""
+    return D.passage_dedup(T(spark, sf_dir, "documents"),
+                           passage_words=10, min_count=2)
+
+
+SQL_PASSAGE_DEDUP = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+ps AS (SELECT doc_id,
+              list_transform(range(CAST(ceil(len(ws)/10.0) AS BIGINT)),
+                             i -> array_to_string(ws[i*10+1 : (i+1)*10], ' ')) AS pl
+       FROM w),
+p AS (SELECT doc_id, unnest(pl) AS passage, generate_subscripts(pl, 1) AS pos
+      FROM ps),
+d AS (SELECT passage FROM p GROUP BY passage HAVING COUNT(*) >= 2),
+j AS (SELECT p.doc_id, p.pos, p.passage, d.passage IS NOT NULL AS is_dup
+      FROM p LEFT JOIN d USING (passage))
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_passages,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       md5(COALESCE(string_agg(CASE WHEN NOT is_dup THEN passage END,
+                               ' ' ORDER BY pos), '')) AS cleaned_digest
+FROM j GROUP BY doc_id
+"""
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.token_stats(T(spark, sf_dir, "documents"))
 
@@ -1772,6 +1804,128 @@ SELECT CAST(TRUE AS BOOLEAN) AS fpr_within_bound,
 """
 
 
+TOKND_DOCS, TOKND_EVERY = 600, 50  # corpus size, planted-dup stride
+
+
+def q_tokens_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection DIRECTLY on the input_hint token table — no text
+    detour: MinHash(64) + LSH(16×4) over in-row token 3-gram shingles
+    (dedup.token_shingles), exact-Jaccard verified.  Near-dup copies are
+    planted IN-PLAN (every 50th sequence re-emitted with every 37th token
+    incremented — J ≈ 0.82–0.92 vs its original), and the gates assert the
+    detector finds exactly the planted pair set: every planted pair
+    recovered at τ = 0.7 and nothing else reported (independent Zipf
+    sequences share no 3-gram mass at that threshold).  Everything is
+    deterministic (seeded synth, fixed hash seeds), so the booleans are
+    exact; plan shape is the text-dedup family's — one signature shuffle of
+    k·8 B/doc, uniform band-bucket self-join, verify restricted to
+    candidates."""
+    from cuckoofilter_spark.operators.dedup import (minhash_near_dups,
+                                                    token_shingles)
+    from cuckoofilter_spark.sources.tokens import VOCAB, synth_tokens_df
+
+    base = synth_tokens_df(spark, TOKND_DOCS, seed=42, num_partitions=8)
+    idx = F.substring("doc_id", 4, 8).cast("int")
+    mutated = (
+        base.filter(idx % TOKND_EVERY == 0)
+        .select(F.concat(F.lit("dup"), "doc_id").alias("doc_id"),
+                F.transform("tokens", lambda t, i: F.when(
+                    i % 37 == 0, (t + 1) % VOCAB).otherwise(t)).alias("tokens"),
+                "n_tok", "source"))
+    corpus = base.unionByName(mutated)
+    sh = token_shingles(corpus, n=3).persist()
+    pairs = minhash_near_dups(corpus, tau_x1e4=7000, sh=sh)
+
+    n_planted = TOKND_DOCS // TOKND_EVERY
+    # one in-plan aggregation computes every gate (single pass over the
+    # verify output; planted pairs surface canonically as
+    # d1="docXXXX" < d2="dupdocXXXX")
+    agg = pairs.agg(
+        F.count("*").alias("_np"),
+        F.sum(F.when(F.col("d2") == F.concat(F.lit("dup"), F.col("d1")), 1)
+              .otherwise(0)).alias("_nr"))
+    return agg.select(
+        (F.coalesce(F.col("_nr"), F.lit(0)) == n_planted)
+        .alias("all_planted_found"),
+        F.lit(TOKND_DOCS).cast("long").alias("n_docs"),
+        F.lit(n_planted).cast("long").alias("n_planted"),
+        (F.col("_np") == F.coalesce(F.col("_nr"), F.lit(0)))
+        .alias("only_planted_found"))
+
+
+SQL_TOKENS_NEARDUP = f"""
+SELECT CAST(TRUE AS BOOLEAN) AS all_planted_found,
+       CAST({TOKND_DOCS} AS BIGINT) AS n_docs,
+       CAST({TOKND_DOCS // TOKND_EVERY} AS BIGINT) AS n_planted,
+       CAST(TRUE AS BOOLEAN) AS only_planted_found
+"""
+
+
+TOKPACK_DOCS, TOKPACK_SEQ = 400, 256
+
+
+def q_tokens_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing over the PRE-TOKENIZED input_hint table: the
+    token stream of 400 synthesized sequences (doc-index order) cut into
+    256-token training chunks via the sketch-bucketed prefix sum
+    (operators/pipeline.pack_chunks, tokens_col path — no text detour).
+    Gates: token conservation, chunk count = ceil(total/seq_len), every
+    chunk full except (at most) the final one, and PARTITIONING
+    INVARIANCE — the num_buckets=32 and num_buckets=8 builds produce
+    byte-identical (chunk_id, n_tok, chunk_md5) relations, the packing
+    analog of the north rule's identical-estimates-at-N-and-4N
+    obligation."""
+    from cuckoofilter_spark.operators.pipeline import pack_chunks
+    from cuckoofilter_spark.sources.tokens import synth_tokens_df
+
+    toks = (synth_tokens_df(spark, TOKPACK_DOCS, seed=42, num_partitions=8)
+            .withColumn("_ord", F.substring("doc_id", 4, 8).cast("long")))
+    a = pack_chunks(toks, TOKPACK_SEQ, order_col="_ord",
+                    tokens_col="tokens", num_buckets=32)
+    b = pack_chunks(toks, TOKPACK_SEQ, order_col="_ord",
+                    tokens_col="tokens", num_buckets=8)
+
+    total = int(toks.agg(F.sum("n_tok")).collect()[0][0])
+    sa = a.agg(
+        F.count("*").alias("nc"), F.sum("n_tok").alias("st"),
+        F.sum(F.when(F.col("n_tok") != TOKPACK_SEQ, 1).otherwise(0))
+        .alias("npartial"),
+        F.max(F.when(F.col("n_tok") != TOKPACK_SEQ, F.col("chunk_id")))
+        .alias("partial_id"),
+        F.max("chunk_id").alias("maxid")).collect()[0]
+    av = a.select("chunk_id", F.col("n_tok").alias("na"),
+                  F.col("chunk_md5").alias("ma"))
+    bv = b.select("chunk_id", F.col("n_tok").alias("nb"),
+                  F.col("chunk_md5").alias("mb"))
+    n_mismatch = (av.join(bv, "chunk_id", "full")
+                  .filter(F.col("ma").isNull() | F.col("mb").isNull()
+                          | (F.col("na") != F.col("nb"))
+                          | (F.col("ma") != F.col("mb"))).count())
+
+    want_partial = 1 if total % TOKPACK_SEQ else 0
+    return _bool_row(
+        spark,
+        n_docs=TOKPACK_DOCS,
+        seq_len=TOKPACK_SEQ,
+        tokens_conserved=(int(sa["st"]) == total),
+        chunk_count_ok=(int(sa["nc"]) == -(-total // TOKPACK_SEQ)),
+        only_last_chunk_partial=(
+            int(sa["npartial"]) == want_partial
+            and (want_partial == 0 or int(sa["partial_id"]) == int(sa["maxid"]))),
+        partitioning_invariant=(n_mismatch == 0),
+    )
+
+
+SQL_TOKENS_PACK = f"""
+SELECT CAST(TRUE AS BOOLEAN) AS chunk_count_ok,
+       CAST({TOKPACK_DOCS} AS BIGINT) AS n_docs,
+       CAST(TRUE AS BOOLEAN) AS only_last_chunk_partial,
+       CAST(TRUE AS BOOLEAN) AS partitioning_invariant,
+       CAST({TOKPACK_SEQ} AS BIGINT) AS seq_len,
+       CAST(TRUE AS BOOLEAN) AS tokens_conserved
+"""
+
+
 # ---------------------------------------------------------------------------
 
 # ---------------------------------------------------------------------------
@@ -2139,6 +2293,33 @@ WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR) || '|mix1'), 1, 8))
 """
 
 
+def q_rare_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-conditioned rarity (CCNet perplexity-filter analog, exact):
+    per-doc share of word bigrams with corpus frequency ≤ 2, integer-scaled.
+    Both shuffles move 8-byte bigram hashes only; the oracle re-derives the
+    same counts from bigram strings (operators/pipeline.py:rare_bigrams)."""
+    from cuckoofilter_spark.operators.pipeline import rare_bigrams
+
+    return rare_bigrams(T(spark, sf_dir, "documents"), rare_max=2)
+
+
+SQL_RARE_BIGRAMS = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (SELECT doc_id,
+             unnest(list_transform(range(len(ws) - 1),
+                    i -> ws[i+1] || chr(1) || ws[i+2])) AS gram
+      FROM w WHERE len(ws) >= 2),
+c AS (SELECT gram, COUNT(*) AS cnt FROM g GROUP BY gram)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CASE WHEN c.cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       CAST(floor(SUM(CASE WHEN c.cnt <= 2 THEN 1 ELSE 0 END) * 10000
+                  / COUNT(*)) AS BIGINT) AS rare_ratio_x1e4
+FROM g JOIN c USING (gram)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "cf_member_parts": q_cf_member_parts,
     "cf_build_fpr": q_cf_build_fpr,
@@ -2156,6 +2337,7 @@ QUERIES = {
     "tdigest_quantiles": q_tdigest_quantiles,
     "exact_dedup": q_exact_dedup,
     "ingest_dedup": q_ingest_dedup,
+    "passage_dedup": q_passage_dedup,
     "token_stats": q_token_stats,
     "quality": q_quality,
     "lang_id": q_lang_id,
@@ -2188,6 +2370,8 @@ QUERIES = {
     "bloom_pruned_join": q_bloom_pruned_join,
     "fasta_kmers": q_fasta_kmers,
     "tokens_cf_build": q_tokens_cf_build,
+    "tokens_neardup": q_tokens_neardup,
+    "tokens_pack": q_tokens_pack,
     "decontaminate": q_decontaminate,
     "pack_sequences": q_pack_sequences,
     "packed_chunks": q_packed_chunks,
@@ -2198,6 +2382,7 @@ QUERIES = {
     "sql_sketch_agg": q_sql_sketch_agg,
     "repetition_signals": q_repetition_signals,
     "mix_sources": q_mix_sources,
+    "rare_bigrams": q_rare_bigrams,
 }
 
 ORACLES = {
@@ -2217,6 +2402,7 @@ ORACLES = {
     "tdigest_quantiles": _SQL_QUANTILES,
     "exact_dedup": SQL_EXACT_DEDUP,
     "ingest_dedup": SQL_INGEST_DEDUP,
+    "passage_dedup": SQL_PASSAGE_DEDUP,
     "token_stats": SQL_TOKEN_STATS,
     "quality": SQL_QUALITY,
     "lang_id": SQL_LANG_ID,
@@ -2249,6 +2435,8 @@ ORACLES = {
     "bloom_pruned_join": SQL_BLOOM_PRUNED_JOIN,
     "fasta_kmers": SQL_FASTA_KMERS,
     "tokens_cf_build": SQL_TOKENS_CF_BUILD,
+    "tokens_neardup": SQL_TOKENS_NEARDUP,
+    "tokens_pack": SQL_TOKENS_PACK,
     "decontaminate": SQL_DECONTAMINATE,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "packed_chunks": SQL_PACKED_CHUNKS,
@@ -2259,4 +2447,5 @@ ORACLES = {
     "sql_sketch_agg": SQL_SQL_SKETCH_AGG,
     "repetition_signals": SQL_REPETITION_SIGNALS,
     "mix_sources": SQL_MIX_SOURCES,
+    "rare_bigrams": SQL_RARE_BIGRAMS,
 }

@@ -319,3 +319,40 @@ def test_mix_sources_single_small_shuffle(spark, docs):
     # docs-side path must contribute none (no repartition of the corpus)
     assert count_exchanges(out) <= 2
     assert "BroadcastExchange" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_rare_bigrams_hand_values(spark):
+    from cuckoofilter_spark.operators.pipeline import rare_bigrams
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d"),    # bigrams: ab bc cd
+         (1, "a b c e"),    # bigrams: ab bc ce
+         (2, "a b x"),      # bigrams: ab bx
+         (3, "z")],         # < 2 words -> excluded
+        "doc_id long, text string")
+    # corpus counts: ab=3, bc=2, cd=1, ce=1, bx=1 -> rare (cnt<=2): all but ab
+    got = {r["doc_id"]: r for r in rare_bigrams(docs, rare_max=2).collect()}
+    assert 3 not in got and len(got) == 3
+    assert (got[0]["n_bigrams"], got[0]["n_rare"]) == (3, 2)
+    assert got[0]["rare_ratio_x1e4"] == 6666
+    assert (got[1]["n_bigrams"], got[1]["n_rare"]) == (3, 2)
+    assert (got[2]["n_bigrams"], got[2]["n_rare"]) == (2, 1)
+    assert got[2]["rare_ratio_x1e4"] == 5000
+
+
+def test_pack_chunks_tokens_col_matches_text_path(spark):
+    """Packing pre-tokenized int arrays must produce the identical chunk
+    relation as packing the equivalent stringified text."""
+    from cuckoofilter_spark.operators.pipeline import pack_chunks
+
+    rows = [(i, list(range(i * 7, i * 7 + 5 + (i % 11)))) for i in range(40)]
+    toks = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    texts = spark.createDataFrame(
+        [(i, " ".join(str(t) for t in ts)) for i, ts in rows],
+        "doc_id long, text string")
+    a = {(r["chunk_id"], r["n_tok"], r["chunk_md5"])
+         for r in pack_chunks(toks, 16, tokens_col="tokens",
+                              num_buckets=4).collect()}
+    b = {(r["chunk_id"], r["n_tok"], r["chunk_md5"])
+         for r in pack_chunks(texts, 16, num_buckets=4).collect()}
+    assert a == b and len(a) > 1
