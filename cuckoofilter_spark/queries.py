@@ -1861,6 +1861,105 @@ SELECT CAST(TRUE AS BOOLEAN) AS all_planted_found,
 """
 
 
+def q_tokens_ndv_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source approximate vocabulary size on the input_hint table:
+    token-id NDV per ``source`` via the per-key HLL GROUP BY
+    (operators/sketch_groupby.ndv_by_key, salt_buckets=4 exercising the
+    hot-key salted partial-merge path — 'web' holds ~70% of rows), each
+    estimate gated within 3σ of the Spark-exact per-source count.  The
+    explode is narrow; reducer state is O(2^p) per (source, salt) no
+    matter how many tokens a source has."""
+    from cuckoofilter_spark.operators.sketch_groupby import ndv_by_key
+    from cuckoofilter_spark.sources.tokens import synth_tokens_df
+
+    toks = synth_tokens_df(spark, 1000, seed=42, num_partitions=8)
+    ex = toks.select("source", F.explode("tokens").alias("tok"))
+    p = 14
+    est = {r["source"]: r["ndv_estimate"]
+           for r in ndv_by_key(ex, "source", "tok", p=p, salt_buckets=4)
+           .collect()}
+    exact = {r["source"]: r["ndv"] for r in
+             ex.groupBy("source").agg(F.countDistinct("tok").alias("ndv"))
+             .collect()}
+    rel = 3 * 1.04 / (1 << p) ** 0.5
+    rows = [(s, bool(s in est and abs(est[s] - e) / e <= rel))
+            for s, e in sorted(exact.items())]
+    return spark.createDataFrame(rows, "source string, within_3sigma boolean")
+
+
+SQL_TOKENS_NDV_BY_SOURCE = """
+SELECT s AS source, CAST(TRUE AS BOOLEAN) AS within_3sigma
+FROM (VALUES ('books'), ('code'), ('web'), ('wiki')) AS t(s)
+"""
+
+
+TOKING_DOCS = 1000
+
+
+def q_streaming_tokens_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule build as STREAMING INGEST: the pre-tokenized
+    sequence table arrives as a file stream (2 files per micro-batch) and
+    the global cuckoo filter is maintained incrementally through the
+    shared ``StreamingSketchBuilder`` protocol — each batch runs the same
+    distributed per-partition build → tree merge as the batch path, then
+    folds into the running filter, whose blob is checkpointed per batch.
+    Gates: the ingest really was incremental (≥2 committed batches), zero
+    false negatives on the Zipf head, FPR ≤ ε on held-out negatives, and
+    RESUMABILITY — a second builder pointed at the same state dir restores
+    the committed batch id and answers membership identically (the
+    restart-without-re-reading-history obligation)."""
+    import tempfile
+
+    from cuckoofilter_spark.sketches import CuckooSketch
+    from cuckoofilter_spark.sources.tokens import VOCAB, synth_tokens_df
+    from cuckoofilter_spark.streaming.incremental import StreamingSketchBuilder
+
+    params = CuckooParams(max_table_size=4 * VOCAB, bits_per_fp=16)
+    head = np.arange(0, 1000, dtype=np.int64)
+    negs = np.arange(VOCAB + NEG_LO, VOCAB + NEG_LO + NEG_N, dtype=np.int64)
+    with tempfile.TemporaryDirectory() as td:
+        src = f"{td}/src"
+        (synth_tokens_df(spark, TOKING_DOCS, seed=42, num_partitions=8)
+         .write.parquet(src))
+        schema = spark.read.parquet(src).schema
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 2).parquet(src))
+        b = StreamingSketchBuilder(
+            lambda pid: CuckooSketch(params, seed=pid),
+            "tokens", state_dir=f"{td}/state")
+        q = (b.attach(stream).option("checkpointLocation", f"{td}/ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+        found = int(b.sketch.contains(head).sum())
+        n_fp = int(b.sketch.contains(negs).sum())
+        b2 = StreamingSketchBuilder(
+            lambda pid: CuckooSketch(params, seed=pid),
+            "tokens", state_dir=f"{td}/state")
+        resume_ok = (
+            b2.last_batch_id == b.last_batch_id
+            and b2.sketch is not None
+            and bool((b2.sketch.contains(head) == b.sketch.contains(head)).all())
+            and bool((b2.sketch.contains(negs) == b.sketch.contains(negs)).all()))
+        return _bool_row(
+            spark,
+            n_docs=TOKING_DOCS,
+            multi_batch=(b.last_batch_id >= 1),
+            head_all_found=(found == len(head)),
+            fpr_within_bound=(n_fp / NEG_N <= params.fpr_bound),
+            resume_restores_state=resume_ok,
+        )
+
+
+SQL_STREAMING_TOKENS_INGEST = f"""
+SELECT CAST(TRUE AS BOOLEAN) AS fpr_within_bound,
+       CAST(TRUE AS BOOLEAN) AS head_all_found,
+       CAST(TRUE AS BOOLEAN) AS multi_batch,
+       CAST({TOKING_DOCS} AS BIGINT) AS n_docs,
+       CAST(TRUE AS BOOLEAN) AS resume_restores_state
+"""
+
+
 TOKPACK_DOCS, TOKPACK_SEQ = 400, 256
 
 
@@ -2372,6 +2471,8 @@ QUERIES = {
     "tokens_cf_build": q_tokens_cf_build,
     "tokens_neardup": q_tokens_neardup,
     "tokens_pack": q_tokens_pack,
+    "streaming_tokens_ingest": q_streaming_tokens_ingest,
+    "tokens_ndv_by_source": q_tokens_ndv_by_source,
     "decontaminate": q_decontaminate,
     "pack_sequences": q_pack_sequences,
     "packed_chunks": q_packed_chunks,
@@ -2437,6 +2538,8 @@ ORACLES = {
     "tokens_cf_build": SQL_TOKENS_CF_BUILD,
     "tokens_neardup": SQL_TOKENS_NEARDUP,
     "tokens_pack": SQL_TOKENS_PACK,
+    "streaming_tokens_ingest": SQL_STREAMING_TOKENS_INGEST,
+    "tokens_ndv_by_source": SQL_TOKENS_NDV_BY_SOURCE,
     "decontaminate": SQL_DECONTAMINATE,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "packed_chunks": SQL_PACKED_CHUNKS,
