@@ -95,7 +95,7 @@ def decontaminate(spark: SparkSession, train: DataFrame, bench: DataFrame,
 # ---------------------------------------------------------------------------
 
 def quantile_buckets(df: DataFrame, col: str, num_buckets: int,
-                     k: int = 512) -> tuple:
+                     k: int = 512) -> "tuple[list[float], DataFrame, object]":
     """Assign each row a range bucket ``0..num_buckets-1`` over *col*
     using boundary quantiles read off one merged KLL sketch.
 

@@ -1834,23 +1834,26 @@ def q_tokens_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_tok", "source"))
     corpus = base.unionByName(mutated)
     sh = token_shingles(corpus, n=3).persist()
-    pairs = minhash_near_dups(corpus, tau_x1e4=7000, sh=sh)
-
+    try:
+        pairs = minhash_near_dups(corpus, tau_x1e4=7000, sh=sh)
+        # one aggregation pass computes every gate (planted pairs surface
+        # canonically as d1="docXXXX" < d2="dupdocXXXX"); collected eagerly
+        # so the shingle cache can be released before returning
+        row = pairs.agg(
+            F.count("*").alias("_np"),
+            F.sum(F.when(F.col("d2") == F.concat(F.lit("dup"), F.col("d1")),
+                         1).otherwise(0)).alias("_nr")).collect()[0]
+    finally:
+        sh.unpersist()
     n_planted = TOKND_DOCS // TOKND_EVERY
-    # one in-plan aggregation computes every gate (single pass over the
-    # verify output; planted pairs surface canonically as
-    # d1="docXXXX" < d2="dupdocXXXX")
-    agg = pairs.agg(
-        F.count("*").alias("_np"),
-        F.sum(F.when(F.col("d2") == F.concat(F.lit("dup"), F.col("d1")), 1)
-              .otherwise(0)).alias("_nr"))
-    return agg.select(
-        (F.coalesce(F.col("_nr"), F.lit(0)) == n_planted)
-        .alias("all_planted_found"),
-        F.lit(TOKND_DOCS).cast("long").alias("n_docs"),
-        F.lit(n_planted).cast("long").alias("n_planted"),
-        (F.col("_np") == F.coalesce(F.col("_nr"), F.lit(0)))
-        .alias("only_planted_found"))
+    n_recovered = int(row["_nr"] or 0)
+    return _bool_row(
+        spark,
+        n_docs=TOKND_DOCS,
+        n_planted=n_planted,
+        all_planted_found=(n_recovered == n_planted),
+        only_planted_found=(int(row["_np"]) == n_recovered),
+    )
 
 
 SQL_TOKENS_NEARDUP = f"""
@@ -1979,27 +1982,32 @@ def q_tokens_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     toks = (synth_tokens_df(spark, TOKPACK_DOCS, seed=42, num_partitions=8)
             .withColumn("_ord", F.substring("doc_id", 4, 8).cast("long")))
+    # `a` feeds two actions (summary aggregate + invariance join) — persist
+    # so the 32-bucket pack pipeline runs once, released before returning
     a = pack_chunks(toks, TOKPACK_SEQ, order_col="_ord",
-                    tokens_col="tokens", num_buckets=32)
-    b = pack_chunks(toks, TOKPACK_SEQ, order_col="_ord",
-                    tokens_col="tokens", num_buckets=8)
+                    tokens_col="tokens", num_buckets=32).persist()
+    try:
+        b = pack_chunks(toks, TOKPACK_SEQ, order_col="_ord",
+                        tokens_col="tokens", num_buckets=8)
 
-    total = int(toks.agg(F.sum("n_tok")).collect()[0][0])
-    sa = a.agg(
-        F.count("*").alias("nc"), F.sum("n_tok").alias("st"),
-        F.sum(F.when(F.col("n_tok") != TOKPACK_SEQ, 1).otherwise(0))
-        .alias("npartial"),
-        F.max(F.when(F.col("n_tok") != TOKPACK_SEQ, F.col("chunk_id")))
-        .alias("partial_id"),
-        F.max("chunk_id").alias("maxid")).collect()[0]
-    av = a.select("chunk_id", F.col("n_tok").alias("na"),
-                  F.col("chunk_md5").alias("ma"))
-    bv = b.select("chunk_id", F.col("n_tok").alias("nb"),
-                  F.col("chunk_md5").alias("mb"))
-    n_mismatch = (av.join(bv, "chunk_id", "full")
-                  .filter(F.col("ma").isNull() | F.col("mb").isNull()
-                          | (F.col("na") != F.col("nb"))
-                          | (F.col("ma") != F.col("mb"))).count())
+        total = int(toks.agg(F.sum("n_tok")).collect()[0][0])
+        sa = a.agg(
+            F.count("*").alias("nc"), F.sum("n_tok").alias("st"),
+            F.sum(F.when(F.col("n_tok") != TOKPACK_SEQ, 1).otherwise(0))
+            .alias("npartial"),
+            F.max(F.when(F.col("n_tok") != TOKPACK_SEQ, F.col("chunk_id")))
+            .alias("partial_id"),
+            F.max("chunk_id").alias("maxid")).collect()[0]
+        av = a.select("chunk_id", F.col("n_tok").alias("na"),
+                      F.col("chunk_md5").alias("ma"))
+        bv = b.select("chunk_id", F.col("n_tok").alias("nb"),
+                      F.col("chunk_md5").alias("mb"))
+        n_mismatch = (av.join(bv, "chunk_id", "full")
+                      .filter(F.col("ma").isNull() | F.col("mb").isNull()
+                              | (F.col("na") != F.col("nb"))
+                              | (F.col("ma") != F.col("mb"))).count())
+    finally:
+        a.unpersist()
 
     want_partial = 1 if total % TOKPACK_SEQ else 0
     return _bool_row(

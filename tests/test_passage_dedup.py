@@ -69,7 +69,10 @@ def test_dup_discovery_shuffles_hashes_not_text(spark):
         [(0, f"{A} {B}"), (1, f"{A} {C}")], "doc_id long, text string")
     plan = passage_dedup(docs)._jdf.queryExecution().executedPlan().toString()
     import re
-    # every hashpartitioning key in the plan is a long digest or doc_id,
-    # not a passage string
-    for m in re.findall(r"hashpartitioning\(([^,)]+)", plan):
-        assert "passage" not in m, plan
+    # every hashpartitioning key in the plan must be LONG-typed (the
+    # attribute suffix `#<id>L`) — a regression that groups or joins on
+    # a passage STRING prints an un-suffixed attribute and fails here
+    keys = re.findall(r"hashpartitioning\((\w+)#\d+(L?)[,)]", plan)
+    assert keys, plan
+    for name, long_suffix in keys:
+        assert long_suffix == "L", (name, plan)
