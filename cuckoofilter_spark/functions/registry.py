@@ -98,7 +98,10 @@ def register_sketch_aggs(spark: SparkSession, name_ndv: str = "hll_ndv",
     @pandas_udf("long")
     def ndv_agg(v: pd.Series) -> int:
         hll = HyperLogLog(p=p, seed=seed)
-        vals = v.to_numpy(dtype=np.int64, na_value=0)
+        # COUNT(DISTINCT) semantics: NULLs are not values — drop them
+        # instead of conflating them with a genuine 0 (an all-NULL group
+        # estimates 0, matching countDistinct)
+        vals = v.dropna().to_numpy(dtype=np.int64)
         if len(vals):
             hll.update(vals)
         return int(hll.estimate())

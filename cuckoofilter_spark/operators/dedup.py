@@ -111,16 +111,19 @@ def jaccard_pairs(sh: DataFrame, tau_x1e4: int) -> DataFrame:
 DEFAULT_DF_CAP = 65536
 
 
-def prefix_index(sh: DataFrame, tau_x1e4: int) -> DataFrame:
+def prefix_index(sh: DataFrame, tau_x1e4: int,
+                 sizes: DataFrame | None = None) -> DataFrame:
     """PPJoin prefix index: for each doc, the first
     ``|A| - ceil(τ·|A|) + 1`` grams under the global (document-frequency
     asc, gram) order — the rarest grams.  Returns
     (doc_id, gram, n_sh, gram_df); ``gram_df`` rides along so candidate
-    generation can partition by hotness."""
+    generation can partition by hotness.  Pass a precomputed per-doc
+    ``sizes`` relation to share the aggregate with the verify tail."""
     tau = tau_x1e4 / 10000.0
     from pyspark.sql import Window
 
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    if sizes is None:
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     gdf = sh.groupBy("gram").agg(F.count("*").alias("gram_df"))
     return (
         sh.join(gdf, "gram")
@@ -219,7 +222,8 @@ def jaccard_pairs_prefix(sh: DataFrame, tau_x1e4: int,
     # the corpus per consumer (no-op if the caller already persisted)
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    cand = (_prefix_self_join(prefix_index(sh, tau_x1e4), tau, df_cap)
+    cand = (_prefix_self_join(prefix_index(sh, tau_x1e4, sizes=sizes),
+                              tau, df_cap)
             .distinct())
     return verify_jaccard_pairs(sh, cand, tau_x1e4, sizes=sizes)
 

@@ -68,17 +68,23 @@ def decontaminate(spark: SparkSession, train: DataFrame, bench: DataFrame,
     """
     from pyspark import StorageLevel
 
-    # One shuffle computes the distinct benchmark gram set; persist it
-    # because three consumers follow (sizing count, filter build, exact
-    # verify join) — without the persist the gram shuffle runs thrice.
-    bench_grams = (shingles(bench, n=n, text_col=text_col)
-                   .select("gram").distinct()
-                   .persist(StorageLevel.MEMORY_AND_DISK))
-    if params is None:
-        ndv = bench_grams.count()  # exact NDV — it IS the distinct set
-        params = CuckooParams(max_table_size=max(1024, 2 * ndv),
-                              bits_per_fp=16)
-    filt = build_filter(bench_grams, "gram", params, num_partitions=8)
+    # The distinct benchmark gram set has three consumers (sizing count,
+    # filter build, exact verify join).  Persist it across the two eager
+    # ones and RELEASE it before returning — the verify join in the
+    # returned lazy plan recomputes the (small, benchmark-sized) distinct
+    # once at execution, which beats pinning it in the block manager for
+    # the session lifetime (the query layer fixed this same leak pattern
+    # in 12f0ac9; the operator must not reintroduce it).
+    bench_grams = shingles(bench, n=n, text_col=text_col).select("gram").distinct()
+    cached = bench_grams.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        if params is None:
+            ndv = cached.count()  # exact NDV — it IS the distinct set
+            params = CuckooParams(max_table_size=max(1024, 2 * ndv),
+                                  bits_per_fp=16)
+        filt = build_filter(cached, "gram", params, num_partitions=8)
+    finally:
+        cached.unpersist()
     contains = cf_contains_udf(spark, filt)
 
     train_grams = shingles(train, n=n, text_col=text_col)
@@ -115,6 +121,8 @@ def quantile_buckets(df: DataFrame, col: str, num_buckets: int,
     from cuckoofilter_spark.operators.sketch_build import build_sketch
     from cuckoofilter_spark.sketches.kll import KLLSketch
 
+    assert "bucket" not in df.columns, \
+        "quantile_buckets writes a 'bucket' column; rename the caller's"
     sk = build_sketch(df.select(F.col(col).cast("double").alias(col)), col,
                       lambda pid: KLLSketch(k=k, seed=11), values="float")
     qs = [i / num_buckets for i in range(1, num_buckets)]
@@ -278,6 +286,8 @@ def shuffle_rank(df: DataFrame, key_col: str = "doc_id", salt: str = "shuf1",
     so no single-task global sort happens; ties in the 60-bit hash
     prefix (~n²/2⁶¹) are broken by the key itself.
     """
+    assert not {"_h", "_one"} & set(df.columns), \
+        "shuffle_rank uses temp columns _h/_one; rename the caller's"
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.col(key_col).cast("string"),
@@ -358,6 +368,8 @@ def mix_sources(docs: DataFrame, stratum_col: str = "source",
               .select(F.col(stratum_col),
                       F.floor(F.sqrt(F.col("count"))).cast("long").alias("_q")))
     qmin = counts.agg(F.min("_q")).collect()[0][0]
+    if qmin is None:  # empty input: empty output, not a TypeError
+        return docs
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.col(key_col).cast("string"), F.lit("|" + salt))),

@@ -119,6 +119,18 @@ def pack_blocks(corpus: DataFrame, n_blocks: int, vec_col: str = "embedding",
     )
 
 
+def _canon_cos_x1e4(Mi: "np.ndarray", Mj: "np.ndarray") -> "np.ndarray":
+    """Canonical pairwise score: floor(1e4 · row-wise dot) through ONE
+    fixed kernel — ``einsum`` with linear accumulation over the feature
+    axis, independent of how many pairs are scored at once.  Candidate
+    detection may use whatever blocked BLAS GEMM is fastest (whose
+    k-accumulation order can vary by matrix shape, shifting a value that
+    sits within an ulp of a floor boundary by one integer step); every
+    EMITTED value is rescored here so the same pair always reports the
+    same integer no matter which block/bucket shape found it."""
+    return np.floor(np.einsum("ij,ij->i", Mi, Mj) * 10000).astype(np.int64)
+
+
 def neardup_pairs_blas(corpus: DataFrame, tau_x1e4: int = 9000,
                        vec_col: str = "embedding", id_col: str = "vec_id",
                        block: int = 1024) -> DataFrame:
@@ -162,20 +174,25 @@ def neardup_pairs_blas(corpus: DataFrame, tau_x1e4: int = 9000,
             for row in pdf.itertuples(index=False):
                 ia = np.frombuffer(row.ia, dtype=np.int64)
                 A = np.frombuffer(row.ma, dtype=np.float64).reshape(row.na, row.da)
+                # GEMM detects candidates with a 1-unit margin; emitted
+                # values come from the canonical kernel (_canon_cos_x1e4)
                 if row.ba == row.bb:
                     scaled = np.floor((A @ A.T) * 10000)
-                    i, j = np.nonzero(scaled >= tau)
+                    i, j = np.nonzero(scaled >= tau - 1)
                     keep = i < j  # ids ascending → index order = id order
-                    v1, v2 = ia[i[keep]], ia[j[keep]]
-                    cs = scaled[i[keep], j[keep]]
+                    i, j = i[keep], j[keep]
+                    cs = _canon_cos_x1e4(A[i], A[j])
+                    ok = cs >= tau
+                    v1, v2, cs = ia[i[ok]], ia[j[ok]], cs[ok]
                 else:
                     ib = np.frombuffer(row.ib, dtype=np.int64)
                     B = np.frombuffer(row.mb, dtype=np.float64).reshape(row.nb, row.db)
                     scaled = np.floor((A @ B.T) * 10000)
-                    i, j = np.nonzero(scaled >= tau)
-                    xa, xb = ia[i], ib[j]
-                    v1, v2 = np.minimum(xa, xb), np.maximum(xa, xb)
-                    cs = scaled[i, j]
+                    i, j = np.nonzero(scaled >= tau - 1)
+                    cs = _canon_cos_x1e4(A[i], B[j])
+                    ok = cs >= tau
+                    xa, xb = ia[i[ok]], ib[j[ok]]
+                    v1, v2, cs = np.minimum(xa, xb), np.maximum(xa, xb), cs[ok]
                 if len(v1):
                     yield pd.DataFrame({"v1": v1, "v2": v2,
                                         "cos_x1e4": cs.astype(np.int64)})
@@ -400,11 +417,17 @@ def lsh_neardup_pairs(corpus: DataFrame, tau_x1e4: int = 9000, nbits: int = 8,
         nrm = np.linalg.norm(M, axis=1, keepdims=True)
         nrm[nrm == 0] = 1.0
         M /= nrm
+        # bucket-shaped GEMM detects with a 1-unit margin; emitted values
+        # come from the canonical kernel so the same pair scores the same
+        # integer in every table/bucket (makes the final distinct() exact)
         scaled = np.floor((M @ M.T) * 10000)
-        i, j = np.nonzero(scaled >= tau)
+        i, j = np.nonzero(scaled >= tau - 1)
         keep = i < j  # ids ascending → index order = id order
-        return pd.DataFrame({"v1": ids[i[keep]], "v2": ids[j[keep]],
-                             "cos_x1e4": scaled[i[keep], j[keep]].astype(np.int64)})
+        i, j = i[keep], j[keep]
+        cs = _canon_cos_x1e4(M[i], M[j])
+        ok = cs >= tau
+        return pd.DataFrame({"v1": ids[i[ok]], "v2": ids[j[ok]],
+                             "cos_x1e4": cs[ok]})
 
     return (
         corpus.select(id_col, vec_col)

@@ -90,6 +90,19 @@ def _bool_row(spark: SparkSession, **cols) -> DataFrame:
     return spark.createDataFrame([vals], schema)
 
 
+def _await_stream(q, timeout_s: int = 300) -> None:
+    """awaitTermination(timeout) returns False WITHOUT stopping the query
+    on timeout — under a host steal wave (BENCH/BASELINE.md: 5-15×
+    wall-time inflation) that would leave the gates evaluating a partial
+    sketch and the still-running query racing tempdir cleanup.  Fail
+    loudly instead."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise RuntimeError(
+            f"streaming query did not drain within {timeout_s}s "
+            "(host stall?) — gates would see partial state; aborting")
+
+
 # ---------------------------------------------------------------------------
 # cuckoo filter membership (reference CF: insert/contains/delete,
 # CF/cuckoo_filter.h:154-316)
@@ -1353,7 +1366,7 @@ def q_streaming_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = (per_key.writeStream.format("memory").queryName(name)
              .option("checkpointLocation", ck)
              .outputMode("update").trigger(availableNow=True).start())
-        q.awaitTermination(300)
+        _await_stream(q, 300)
     got = {r["key"]: r["ndv_estimate"]
            for r in spark.sql(f"SELECT * FROM {name}").collect()}
     exact = {r["event_type"]: r["ndv"] for r in
@@ -1419,7 +1432,7 @@ def _windowed_ndv_utc(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = (win.writeStream.format("memory").queryName(name)
              .option("checkpointLocation", ck)
              .outputMode("update").trigger(availableNow=True).start())
-        q.awaitTermination(300)
+        _await_stream(q, 300)
     # collected timestamps are naive in the session tz (pinned UTC) —
     # epoch them explicitly as UTC, never via tz-local .timestamp()
     import calendar
@@ -1475,7 +1488,7 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = (out.writeStream.format("memory").queryName(name)
              .option("checkpointLocation", ck)
              .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination(300)
+        _await_stream(q, 300)
     passed = [r["user_id"] for r in spark.sql(f"SELECT user_id FROM {name}").collect()]
     n_exact = batch.select("user_id").distinct().count()
     eps = params.fpr_bound
@@ -1522,7 +1535,7 @@ def q_streaming_topk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = (b.attach(stream.select(wcol))
              .option("checkpointLocation", os.path.join(tmp, "ck"))
              .trigger(availableNow=True).start())
-        q.awaitTermination(300)
+        _await_stream(q, 300)
         sk = b.sketch
     top = (batch.select(wcol).groupBy("w").agg(F.count("*").alias("true_cnt"))
            .orderBy(F.desc("true_cnt"), F.asc("w")).limit(20).collect())
@@ -1932,7 +1945,7 @@ def q_streaming_tokens_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens", state_dir=f"{td}/state")
         q = (b.attach(stream).option("checkpointLocation", f"{td}/ckpt")
              .trigger(availableNow=True).start())
-        q.awaitTermination(300)
+        _await_stream(q, 300)
 
         found = int(b.sketch.contains(head).sum())
         n_fp = int(b.sketch.contains(negs).sum())

@@ -356,3 +356,21 @@ def test_pack_chunks_tokens_col_matches_text_path(spark):
     b = {(r["chunk_id"], r["n_tok"], r["chunk_md5"])
          for r in pack_chunks(texts, 16, num_buckets=4).collect()}
     assert a == b and len(a) > 1
+
+
+def test_mix_sources_empty_input_returns_empty(spark):
+    from cuckoofilter_spark.operators.pipeline import mix_sources
+
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, source string")
+    assert mix_sources(docs).count() == 0
+
+
+def test_bucket_column_collision_rejected(spark):
+    import pytest
+
+    from cuckoofilter_spark.operators.pipeline import quantile_buckets
+
+    df = spark.createDataFrame([(1, 2)], "v long, bucket long")
+    with pytest.raises(AssertionError):
+        quantile_buckets(df, "v", 4)

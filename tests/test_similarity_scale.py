@@ -92,3 +92,21 @@ def test_lsh_neardup_recall_vs_exact(spark, emb):
     if exact:
         # τ=0.4 ⇒ θ≈66°, per-bit p≈0.63: P(candidate) = 1-(1-p^4)^16 ≈ 0.94
         assert len(got & exact) / len(exact) >= 0.6
+
+
+def test_canonical_pair_score_is_shape_independent():
+    """The emitted cos_x1e4 for a pair must not depend on how many pairs
+    were scored in the same kernel call (the cross-kernel floor hazard)."""
+    import numpy as np
+
+    from cuckoofilter_spark.operators.similarity import _canon_cos_x1e4
+
+    rng = np.random.default_rng(3)
+    M = rng.standard_normal((64, 64))
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    i = np.arange(63)
+    j = i + 1
+    batch = _canon_cos_x1e4(M[i], M[j])
+    for k in range(0, 63, 7):
+        solo = _canon_cos_x1e4(M[i[k:k + 1]], M[j[k:k + 1]])
+        assert solo[0] == batch[k]

@@ -92,3 +92,18 @@ def test_sql_udaf_surface(spark, sf01_dir):
         rank = ev.filter((F.col("event_type") == r["event_type"])
                          & (F.col("value") <= r["med"])).count()
         assert abs(rank / n - 0.5) <= 3 * 2.21 / 200
+
+
+def test_sql_hll_ndv_ignores_nulls(spark):
+    """COUNT(DISTINCT) semantics: NULL is not a value — it must neither
+    count as an extra distinct nor conflate with a genuine 0."""
+    from cuckoofilter_spark.functions import register_sketch_aggs
+
+    register_sketch_aggs(spark, name_ndv="hll_ndv_nulltest",
+                         name_quantile="kll_q_nulltest")
+    got = spark.sql(
+        "SELECT k, hll_ndv_nulltest(v) AS ndv FROM VALUES"
+        " ('a', 1), ('a', CAST(NULL AS BIGINT)), ('a', 1),"
+        " ('b', CAST(NULL AS BIGINT))"
+        " t(k, v) GROUP BY k ORDER BY k").collect()
+    assert [(r["k"], r["ndv"]) for r in got] == [("a", 1), ("b", 0)]
