@@ -106,6 +106,16 @@ class CuckooTable:
         mc = int(MURMUR_CONST)
         tbl = self.table
         occ = self.occ
+        # Futile-eviction fast path: when BOTH candidate buckets are full
+        # of this very fingerprint (multiset mode piling copies of one hot
+        # key), every kick swaps fp for fp and the complement bounces
+        # between the same two buckets — 500 iterations that provably
+        # cannot place anything.  Park it immediately instead (measured:
+        # 500 duplicate inserts 38 s → linear without this).
+        alt = (cur_i ^ ((cur_fp * mc) & 0xFFFFFFFF)) & mask
+        if (occ[cur_i] == epb and occ[alt] == epb
+                and (tbl[cur_i] == cur_fp).all() and (tbl[alt] == cur_fp).all()):
+            return (cur_i, cur_fp)
         for _ in range(KICKS_MAX_COUNT):
             o = occ[cur_i]
             if o < epb:

@@ -22,8 +22,13 @@ from cuckoofilter_spark.core.cuckoo_table import CuckooTable
 from cuckoofilter_spark.core.dynamic_filter import DynamicCuckooFilter
 from cuckoofilter_spark.params import CuckooParams
 
-_MAGIC = b"CKF1"
-_HDR = struct.Struct("<4sBqiiiqq")  # magic, kind, max_ts, epb, bits, seed, n_tables, victim(fp<<40|idx or -1)
+#: CKF2: seed widened to uint64 (hash seeds are arbitrary 64-bit values —
+#: the CKF1 int32 field crashed on seed ≥ 2^31), and the victim cache split
+#: into its own (idx: int64, fp: uint64) fields (CKF1's packed fp<<40|idx
+#: overflowed int64 for the legal 32-bit-fingerprint config).  Old CKF1
+#: blobs fail the magic check loudly rather than misparse.
+_MAGIC = b"CKF2"
+_HDR = struct.Struct("<4sBqiiQqqQ")  # magic, kind, max_ts, epb, bits, seed, n_tables, victim_idx(-1=none), victim_fp
 
 
 def _pack_table(t: CuckooTable) -> bytes:
@@ -81,14 +86,16 @@ def serialize_filter(f: CuckooFilter | DynamicCuckooFilter) -> bytes:
     if isinstance(f, CuckooFilter):
         kind = 0
         tables = [f.table]
-        victim = -1 if f.victim is None else ((f.victim[1] << 40) | f.victim[0])
+        v_idx = -1 if f.victim is None else int(f.victim[0])
+        v_fp = 0 if f.victim is None else int(f.victim[1])
     else:
         kind = 2 if f.dedup else 1
         tables = f.tables
-        victim = -1
+        v_idx, v_fp = -1, 0
     p = f.params
     parts = [_HDR.pack(_MAGIC, kind, p.max_table_size, p.entries_per_bucket,
-                       p.bits_per_fp, p.seed, len(tables), victim)]
+                       p.bits_per_fp, int(p.seed) & 0xFFFFFFFFFFFFFFFF,
+                       len(tables), v_idx, v_fp)]
     for t in tables:
         blob = _pack_table(t)
         parts.append(struct.pack("<q", len(blob)))
@@ -97,7 +104,8 @@ def serialize_filter(f: CuckooFilter | DynamicCuckooFilter) -> bytes:
 
 
 def deserialize_filter(data: bytes) -> CuckooFilter | DynamicCuckooFilter:
-    magic, kind, max_ts, epb, bits, seed, n_tables, victim = _HDR.unpack_from(data, 0)
+    magic, kind, max_ts, epb, bits, seed, n_tables, v_idx, v_fp = \
+        _HDR.unpack_from(data, 0)
     assert magic == _MAGIC, "bad filter blob"
     params = CuckooParams(max_table_size=max_ts, entries_per_bucket=epb,
                           bits_per_fp=bits, seed=seed)
@@ -109,6 +117,6 @@ def deserialize_filter(data: bytes) -> CuckooFilter | DynamicCuckooFilter:
         tables.append(_unpack_table(params, data[off:off + ln]))
         off += ln
     if kind == 0:
-        v = None if victim < 0 else (victim & ((1 << 40) - 1), victim >> 40)
+        v = None if v_idx < 0 else (v_idx, v_fp)
         return CuckooFilter(params, table=tables[0], victim=v)
     return DynamicCuckooFilter(params, tables=tables, dedup=(kind == 2))

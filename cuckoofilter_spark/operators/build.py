@@ -38,6 +38,11 @@ from cuckoofilter_spark.params import CuckooParams
 
 BLOB_SCHEMA = "pid long, blob binary, n_rows long, n_items long"
 
+#: row-group splitting cutoff for the pyarrow-direct build: a CONSTANT so
+#: split granularity is a pure function of the data layout, never of
+#: cluster size (the merge tree must be identical at N and 4N executors)
+ROW_GROUP_SPLIT_MAX_FILES = 48
+
 
 def _keys_from_series(s: pd.Series) -> np.ndarray:
     """Extract a flat int64 key array from a scalar-int or array<int> column."""
@@ -100,7 +105,7 @@ def build_partition_udf(params: CuckooParams, dedup: bool = True):
     return fn
 
 
-def _merge_group_udf(seed_tag: int):
+def _merge_group_udf():
     """applyInPandas fold: merge a group's blobs in ascending pid order."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -150,7 +155,7 @@ def tree_merge_blobs(blobs_df: DataFrame, fanin: int = 8,
         df = (
             df.withColumn("gid", (F.col("pid") / fanin).cast("long"))
             .groupBy("gid")
-            .applyInPandas(lambda pdf: _merge_group_udf(0)(pdf.drop(columns=["gid"])),
+            .applyInPandas(lambda pdf: _merge_group_udf()(pdf.drop(columns=["gid"])),
                            schema=BLOB_SCHEMA)
             .withColumn("pid", (F.col("pid") / fanin).cast("long"))
         )
@@ -194,12 +199,15 @@ def build_filter_from_parquet(spark, path: str, col: str, params: CuckooParams,
         raise ValueError(f"no parquet files found under {path!r}")
     ptuple = params.to_tuple()
     # Split granularity: one task per FILE by default.  When the file
-    # count is below the cluster parallelism (single-file tables, small
-    # imports), split per ROW GROUP instead — the footer reads that
-    # requires are one per file, affordable exactly when files are few.
-    # Task list stays sorted-deterministic either way (merge-tree pinning).
-    par = spark.sparkContext.defaultParallelism
-    if len(files) < par:
+    # count is small (single-file tables, small imports), split per ROW
+    # GROUP instead — the footer reads that requires are one per file,
+    # affordable exactly when files are few.  The cutoff is a CONSTANT,
+    # i.e. a pure function of the data layout — never of cluster size —
+    # so the split list, per-split rng seeds and the merge tree are
+    # identical at N and 4N executors (north_rule invariance; a
+    # defaultParallelism-based cutoff would silently change the tree
+    # with the cluster).
+    if len(files) <= ROW_GROUP_SPLIT_MAX_FILES:
         splits = []
         for fid, f in enumerate(files):
             nrg = _num_row_groups(f)
@@ -292,10 +300,16 @@ def _list_parquet_files(path: str) -> list[str]:
     out = []
     for f in filesystem.get_file_info(sel):
         name = f.base_name
+        relp = os.path.relpath(f.path, rel).replace(os.sep, "/")
+        # skip hidden/underscore names at ANY path level (spark.read
+        # semantics): _temporary/ holds uncommitted task attempts of a
+        # crashed or in-flight write — including them would insert keys
+        # from duplicate/aborted attempts
+        hidden = any(p.startswith(("_", ".")) for p in relp.split("/"))
         if (f.type == pafs.FileType.File and name.endswith(".parquet")
-                and not name.startswith("_")):
+                and not hidden):
             # re-root on the caller's path form so URI schemes survive
-            out.append(prefix + "/" + os.path.relpath(f.path, rel))
+            out.append(prefix + "/" + relp)
     return out
 
 

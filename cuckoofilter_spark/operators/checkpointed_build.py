@@ -179,7 +179,19 @@ class CheckpointedBuild:
             raise RuntimeError(
                 f"checkpoint incomplete: {len(missing)} shards missing "
                 f"(e.g. {sorted(missing)[:5]}); call run(df) again")
-        blobs = self.spark.read.parquet(self._blobs_path)
+        from pyspark.sql import Window
+
+        # Crash-window dedup: a driver death between the blob append and
+        # _record_done leaves the shard un-recorded, so the next run
+        # rebuilds it and appends a SECOND blob row for the same pid —
+        # merging both would double-insert the shard (corrupting multiset
+        # counts and delete semantics).  Keep exactly one blob per pid,
+        # chosen deterministically by content digest (every blob for a pid
+        # covers the identical shard input, so any one is correct).
+        w = Window.partitionBy("pid").orderBy(F.md5("blob"))
+        blobs = (self.spark.read.parquet(self._blobs_path)
+                 .withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") == 1).drop("_rn"))
         filt, _, _ = tree_merge_blobs(blobs, fanin=fanin)
         if filt is None:
             filt = DynamicCuckooFilter(self.params, dedup=self.dedup)

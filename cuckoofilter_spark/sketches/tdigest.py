@@ -120,14 +120,16 @@ class TDigest:
         self._flush()
         return pickle.dumps(
             {"delta": self.delta, "means": self.means, "weights": self.weights,
-             "n": self.n, "min": self.min, "max": self.max},
+             "n": self.n, "min": self.min, "max": self.max,
+             "buffer_size": self.buffer_size},
             protocol=4,
         )
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "TDigest":
         d = pickle.loads(data)
-        t = cls(d["delta"])
+        # default for blobs written before buffer_size was serialized
+        t = cls(d["delta"], buffer_size=d.get("buffer_size", 5000))
         t.means = np.asarray(d["means"])
         t.weights = np.asarray(d["weights"])
         t.n = d["n"]

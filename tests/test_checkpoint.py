@@ -86,3 +86,35 @@ def test_shard_assignment_is_cluster_size_invariant(spark, tokens_df, tmp_path):
     b = checkpointed_build_filter(
         spark, tokens_df.repartition(13), "tokens", PARAMS, str(tmp_path / "b"), n_shards=8)
     assert (a.contains(probe_keys()) == b.contains(probe_keys())).all()
+
+
+def test_finalize_dedupes_double_appended_shard(spark, tmp_path):
+    """Crash window: blobs appended but lineage not recorded -> the rerun
+    appends the shard AGAIN.  finalize must merge each shard exactly once."""
+    import numpy as np
+
+    from cuckoofilter_spark.operators.checkpointed_build import CheckpointedBuild
+    from cuckoofilter_spark.params import CuckooParams
+
+    df = spark.range(0, 5000).selectExpr("id AS k")
+    params = CuckooParams(max_table_size=32768, bits_per_fp=16)
+
+    clean = CheckpointedBuild(spark, str(tmp_path / "clean"), params, "k",
+                              n_shards=8, dedup=False)
+    clean.run(df)
+    ref = clean.finalize()
+
+    crashed = CheckpointedBuild(spark, str(tmp_path / "crashed"), params, "k",
+                                n_shards=8, dedup=False)
+    crashed.run(df)
+    # simulate the crash-after-append-before-record window: blow away the
+    # lineage so the rerun rebuilds (and re-appends) every shard
+    import os
+    os.remove(crashed._lineage_path)
+    crashed.run(df)
+    got = crashed.finalize()
+
+    probes = np.arange(0, 5000, dtype=np.int64)
+    assert got.contains(probes).all()
+    # the double-appended multiset build must NOT double-count
+    assert got.element_count == ref.element_count

@@ -263,3 +263,60 @@ def test_bulk_delete_duplicates_consume_distinct_copies():
     res = f.delete(np.array([42, 42, 42, 42], dtype=np.int64))
     assert res.sum() == 3 and not res[3]
     assert not f.contains(np.array([42]))[0]
+
+
+def test_multiset_duplicate_pileup_is_fast_not_quadratic():
+    """dedup=False stores every copy; piling copies of ONE key used to run
+    the full 500-kick loop per copy against buckets already uniform with
+    that fingerprint (38 s for 500 copies).  The futile-eviction fast path
+    must keep this linear-ish."""
+    import time
+
+    import numpy as np
+
+    from cuckoofilter_spark.core.dynamic_filter import DynamicCuckooFilter
+    from cuckoofilter_spark.params import CuckooParams
+
+    f = DynamicCuckooFilter(CuckooParams(max_table_size=65536), dedup=False)
+    t0 = time.time()
+    f.insert(np.full(2000, 42, dtype=np.int64))
+    took = time.time() - t0
+    assert took < 20, f"duplicate pile-up took {took:.1f}s"
+    assert f.contains(np.array([42], dtype=np.int64))[0]
+    assert f.element_count == 2000
+
+
+def test_serde_wide_fp_victim_and_large_seed_roundtrip():
+    """CKF2 header: 32-bit fingerprints with a parked victim, and uint64
+    seeds, must serialize (CKF1 overflowed both fields)."""
+    import numpy as np
+
+    from cuckoofilter_spark.core.cuckoo_filter import CuckooFilter
+    from cuckoofilter_spark.core.dynamic_filter import DynamicCuckooFilter
+    from cuckoofilter_spark.core.serde import deserialize_filter, serialize_filter
+    from cuckoofilter_spark.params import CuckooParams
+
+    cf = CuckooFilter(CuckooParams(max_table_size=16, entries_per_bucket=2,
+                                   bits_per_fp=32))
+    keys = np.arange(10_000, dtype=np.int64)
+    cf.insert(keys)
+    assert cf.victim is not None, "tiny filter should have parked a victim"
+    back = deserialize_filter(serialize_filter(cf))
+    assert back.victim == cf.victim
+    assert (back.contains(keys) == cf.contains(keys)).all()
+
+    big_seed = 2 ** 31 + 12345
+    dcf = DynamicCuckooFilter(CuckooParams(max_table_size=64, seed=big_seed))
+    dcf.insert(np.arange(100, dtype=np.int64))
+    back2 = deserialize_filter(serialize_filter(dcf))
+    assert back2.params.seed == big_seed
+    assert back2.contains(np.arange(100, dtype=np.int64)).all()
+
+
+def test_serde_rejects_old_format_blob():
+    import pytest
+
+    from cuckoofilter_spark.core.serde import deserialize_filter
+
+    with pytest.raises(AssertionError, match="bad filter blob"):
+        deserialize_filter(b"CKF1" + b"\x00" * 60)

@@ -175,3 +175,29 @@ def test_distributed_build_all_reference_configs(spark):
         assert filt.contains(probes).all(), (epb, bits)
         fpr = filt.contains(negs).mean()
         assert fpr <= max(params.fpr_bound, 3 / len(negs)) * 3, (epb, bits, fpr)
+
+
+def test_parquet_listing_skips_uncommitted_temporary_files(spark, tmp_path):
+    """spark.read semantics: files under _temporary/ (or any _/.-prefixed
+    directory) are uncommitted task attempts and must not enter the build."""
+    import numpy as np
+
+    from cuckoofilter_spark.operators.build import (_list_parquet_files,
+                                                    build_filter_from_parquet)
+    from cuckoofilter_spark.params import CuckooParams
+
+    good = str(tmp_path / "tbl")
+    spark.range(0, 1000).selectExpr("id AS k").coalesce(1).write.parquet(good)
+    # drop an uncommitted attempt with DIFFERENT keys under _temporary/
+    tmp_attempt = str(tmp_path / "tbl" / "_temporary" / "0" / "attempt_0")
+    (spark.range(900000, 901000).selectExpr("id AS k")
+     .coalesce(1).write.parquet(tmp_attempt))
+
+    files = _list_parquet_files(good)
+    assert files and all("_temporary" not in f for f in files)
+
+    filt = build_filter_from_parquet(
+        spark, good, "k", CuckooParams(max_table_size=8192, bits_per_fp=16))
+    assert filt.contains(np.arange(0, 1000, dtype=np.int64)).all()
+    leaked = filt.contains(np.arange(900000, 901000, dtype=np.int64)).mean()
+    assert leaked <= CuckooParams(max_table_size=8192).fpr_bound * 3

@@ -205,3 +205,15 @@ def test_spark_kll_vs_exact_quantiles(spark, sf01_dir):
         est = k.quantile(q)
         true_rank = np.searchsorted(sorted_p, est) / len(prices)
         assert abs(true_rank - q) <= 4 * k.rank_error
+
+
+def test_tdigest_buffer_size_survives_serde():
+    import numpy as np
+
+    from cuckoofilter_spark.sketches.tdigest import TDigest
+
+    t = TDigest(delta=100.0, buffer_size=50)
+    t.update(np.arange(1000, dtype=np.float64))
+    back = TDigest.from_bytes(t.to_bytes())
+    assert back.buffer_size == 50
+    assert abs(back.quantile(0.5) - t.quantile(0.5)) < 1e-9
