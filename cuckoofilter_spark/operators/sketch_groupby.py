@@ -92,3 +92,67 @@ def quantiles_by_key(df: DataFrame, key: str, value: str,
 
     return df.groupBy(key).applyInPandas(
         per_key, schema=f"{key} {key_t}, q_x100 long, quantile_estimate double")
+
+
+def topk_by_key(df: DataFrame, key: str, value: str, k: int = 1024,
+                m: int = 10, salt_buckets: int | None = None) -> DataFrame:
+    """(key, item, est, err) — per-key heavy-hitter DISCOVERY: one
+    space-saving sketch per key, emitting its top-``m`` counters plus the
+    key-level deterministic error bound (est ≤ true ≤ est + err for every
+    item of that key; any item with true > err is present).
+
+    The `GROUP BY key ORDER BY count DESC LIMIT m` that at 10^12 rows
+    needs a full (key, value) count shuffle becomes k labeled counters of
+    reducer state per key.  Skew: ``salt_buckets`` routes by VALUE hash to
+    (key, salt) partial sketches — each distinct value lands wholly in one
+    bucket, so partial per-value counts are exact and the per-key merge
+    (pointwise sum, err adds) preserves the space-saving guarantee while
+    bounding any one reducer's input to ~1/salt_buckets of the hot key.
+
+    ``item`` is stringified (labels survive the sketch — mixed int/str keys
+    normalize); callers gate against exact counts via str(value).
+    """
+    from cuckoofilter_spark.sketches.spacesaving import SpaceSavingSketch
+
+    key_t = dict(df.dtypes)[key]
+    out_schema = f"{key} {key_t}, item string, est long, err long"
+
+    def _build(kdf: pd.DataFrame) -> pd.DataFrame:
+        sk = SpaceSavingSketch(k=k)
+        vals = kdf[value].dropna()
+        if len(vals):
+            sk.update(vals.to_numpy())
+        return pd.DataFrame({key: [kdf[key].iloc[0]], "blob": [sk.to_bytes()]})
+
+    def _emit(sk: SpaceSavingSketch, kval) -> pd.DataFrame:
+        top = sk.top(m)
+        return pd.DataFrame({
+            key: np.repeat(kval, len(top)),
+            "item": [str(i) for i, _ in top],
+            "est": np.asarray([c for _, c in top], dtype=np.int64),
+            "err": np.full(len(top), sk.err, dtype=np.int64),
+        })
+
+    def _merge_emit(kdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for b in kdf["blob"]:
+            s = SpaceSavingSketch.from_bytes(bytes(b))
+            acc = s if acc is None else acc.merge(s)
+        return _emit(acc, kdf[key].iloc[0])
+
+    def _direct(kdf: pd.DataFrame) -> pd.DataFrame:
+        sk = SpaceSavingSketch(k=k)
+        vals = kdf[value].dropna()
+        if len(vals):
+            sk.update(vals.to_numpy())
+        return _emit(sk, kdf[key].iloc[0])
+
+    if salt_buckets:
+        salted = df.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(value).cast("string")),
+                            F.lit(salt_buckets)))
+        partial = (salted.groupBy(key, "_salt")
+                   .applyInPandas(lambda kdf: _build(kdf.drop(columns=["_salt"])),
+                                  schema=f"{key} {key_t}, blob binary"))
+        return partial.groupBy(key).applyInPandas(_merge_emit, schema=out_schema)
+    return df.groupBy(key).applyInPandas(_direct, schema=out_schema)

@@ -2440,6 +2440,191 @@ GROUP BY doc_id
 """
 
 
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each event picks up its user's most
+    recent order as of the event time — ONE hash shuffle on the key via the
+    union+window formulation, never the |events|×|orders-per-user| range
+    explosion of the naive inequality join.  Equal-(user, orderdate) ties
+    break deterministically to the max o_orderkey; money is cents-integer.
+    Exact relational compare vs a DuckDB inequality-join + ROW_NUMBER
+    oracle (DuckDB's native ASOF JOIN leaves ties unspecified)."""
+    from cuckoofilter_spark.operators.asof import asof_join
+
+    ev = T(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    od = (T(spark, sf_dir, "orders")
+          .select(F.col("o_custkey").alias("user_id"), "o_orderdate",
+                  "o_orderkey",
+                  F.round(F.col("o_totalprice") * 100).cast("long")
+                  .alias("order_cents")))
+    joined = asof_join(ev, od, on="user_id", left_ts="ts",
+                       right_ts="o_orderdate",
+                       value_cols=["o_orderkey", "order_cents"],
+                       right_tiebreak="o_orderkey")
+    return (joined.where(F.col("o_orderkey").isNotNull())
+            .select(F.col("event_id").cast("long").alias("event_id"),
+                    F.col("user_id").cast("long").alias("user_id"),
+                    F.col("o_orderkey").cast("long").alias("o_orderkey"),
+                    "order_cents"))
+
+
+SQL_EVENTS_ASOF = """
+WITH ranked AS (
+  SELECT e.event_id, e.user_id, o.o_orderkey,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS order_cents,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e
+  JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       order_cents
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_topk_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source heavy-hitter tokens DIRECTLY on the input_hint table:
+    one space-saving sketch per ``source`` (operators/sketch_groupby.
+    topk_by_key, salt_buckets=4 exercising the value-hash salted partial
+    merge — 'web' holds ~70% of rows), gated per source against the
+    Spark-exact top-5: every exact top-5 token present in the sketch with
+    est ≤ true ≤ est + err.  The per-key `ORDER BY count DESC LIMIT m`
+    that needs a full (source, token) count shuffle at 10^12 rows becomes
+    k labeled counters of bounded reducer state per (source, salt)."""
+    from pyspark.sql import Window
+
+    from cuckoofilter_spark.operators.sketch_groupby import topk_by_key
+    from cuckoofilter_spark.sources.tokens import synth_tokens_df
+
+    toks = synth_tokens_df(spark, 1000, seed=42, num_partitions=8)
+    ex = toks.select("source", F.explode("tokens").alias("tok"))
+
+    sk_rows = topk_by_key(ex, "source", "tok", k=4096, m=4096,
+                          salt_buckets=4).collect()
+    est = {(r["source"], r["item"]): (r["est"], r["err"]) for r in sk_rows}
+
+    w = Window.partitionBy("source").orderBy(F.desc("true_cnt"), F.asc("tok"))
+    top = (ex.groupBy("source", "tok").agg(F.count("*").alias("true_cnt"))
+           .withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") <= 5).collect())
+    ok_found, ok_bound = {}, {}
+    for r in top:
+        s, key = r["source"], (r["source"], str(r["tok"]))
+        e = est.get(key)
+        ok_found[s] = ok_found.get(s, True) and e is not None
+        ok_bound[s] = ok_bound.get(s, True) and (
+            e is not None and 0 < e[0] <= r["true_cnt"] <= e[0] + e[1])
+    rows = [(s, ok_found[s], ok_bound[s]) for s in sorted(ok_found)]
+    return spark.createDataFrame(
+        rows, "source string, top5_present boolean, bounds_hold boolean")
+
+
+SQL_TOPK_TOKENS_BY_SOURCE = """
+SELECT s AS source, CAST(TRUE AS BOOLEAN) AS top5_present,
+       CAST(TRUE AS BOOLEAN) AS bounds_hold
+FROM (VALUES ('books'), ('code'), ('web'), ('wiki')) AS t(s)
+"""
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 characteristic terms by integer-exact TF-IDF
+    rank: score = (tf · 1e8) DIV doc_freq — a monotone transform of tf/df
+    (the idf log doesn't change per-document order for fixed N), kept in
+    int64 so both engines agree bit-for-bit.  Plan: map-side-combined tf
+    count, vocabulary-sized df aggregate joined back on the term (AQE
+    broadcasts when the vocab fits), rank-limit window per doc (Spark 4
+    WindowGroupLimit pushes the top-3 map-side).  Deterministic ties:
+    (score desc, term asc)."""
+    from pyspark.sql import Window
+
+    docs = T(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_x1e8"), F.asc("term"))
+    return (tf.join(dfreq, "term")
+            .withColumn("score_x1e8",
+                        F.expr("tf * 100000000L DIV doc_freq"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select(F.col("doc_id").cast("long").alias("doc_id"), "term",
+                    F.col("tf").cast("long").alias("tf"),
+                    F.col("doc_freq").cast("long").alias("doc_freq"),
+                    F.col("score_x1e8").cast("long").alias("score_x1e8")))
+
+
+SQL_TFIDF_TERMS = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term),
+s AS (SELECT doc_id, term, tf, doc_freq,
+             (tf * 100000000) // doc_freq AS score_x1e8,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY (tf * 100000000) // doc_freq DESC, term ASC) AS rn
+      FROM tf JOIN df USING (term))
+SELECT CAST(doc_id AS BIGINT) AS doc_id, term, CAST(tf AS BIGINT) AS tf,
+       CAST(doc_freq AS BIGINT) AS doc_freq,
+       CAST(score_x1e8 AS BIGINT) AS score_x1e8
+FROM s WHERE rn <= 3
+"""
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary CONTAMINATION MATRIX on the input_hint
+    table: Jaccard similarity of token vocabularies for every source pair,
+    estimated from one KMV bottom-k sketch per source (built distributed,
+    merged per key) and gated against the Spark-exact Jaccard.  At corpus
+    scale the exact version is a per-pair distinct-intersection over the
+    full vocabulary; the sketch version ships 6 × k samples to the driver.
+    KMV intersection works on the shared bottom-k sample (theta-sketch
+    style), so the error stays relative to the INTERSECTION, which is what
+    a contamination check needs."""
+    from cuckoofilter_spark.operators.sketch_build import build_sketch
+    from cuckoofilter_spark.sketches.kmv import (KMVSketch,
+                                                 kmv_intersection_estimate,
+                                                 kmv_union_estimate)
+    from cuckoofilter_spark.sources.tokens import synth_tokens_df
+
+    toks = synth_tokens_df(spark, 1000, seed=42, num_partitions=8)
+    ex = (toks.select("source", F.explode("tokens").alias("tok"))
+          .persist())
+    try:
+        sources = sorted(r["source"] for r in ex.select("source").distinct()
+                         .collect())
+        sk = {s: build_sketch(ex.where(F.col("source") == s), "tok",
+                              lambda pid: KMVSketch(k=4096, seed=3),
+                              num_partitions=8)
+              for s in sources}
+        vocab = {s: ex.where(F.col("source") == s).select("tok").distinct()
+                 for s in sources}
+        rows = []
+        for i, a in enumerate(sources):
+            for b in sources[i + 1:]:
+                n_i = vocab[a].join(vocab[b], "tok", "left_semi").count()
+                n_u = vocab[a].union(vocab[b]).distinct().count()
+                j_exact = n_i / n_u
+                est_i = kmv_intersection_estimate(sk[a], sk[b])
+                est_u = kmv_union_estimate(sk[a], sk[b])
+                j_est = est_i / est_u if est_u else 0.0
+                rel = 3.0 / (4096 - 1) ** 0.5
+                rows.append((a, b, bool(abs(j_est - j_exact) <= 2 * rel)))
+    finally:
+        ex.unpersist()
+    return spark.createDataFrame(
+        rows, "src_a string, src_b string, within_bound boolean")
+
+
+SQL_SOURCE_OVERLAP = """
+SELECT src_a, src_b, CAST(TRUE AS BOOLEAN) AS within_bound
+FROM (VALUES
+  ('books', 'code'), ('books', 'web'), ('books', 'wiki'),
+  ('code', 'web'), ('code', 'wiki'), ('web', 'wiki'))
+  AS t(src_a, src_b)
+"""
+
+
 QUERIES = {
     "cf_member_parts": q_cf_member_parts,
     "cf_build_fpr": q_cf_build_fpr,
@@ -2505,6 +2690,10 @@ QUERIES = {
     "repetition_signals": q_repetition_signals,
     "mix_sources": q_mix_sources,
     "rare_bigrams": q_rare_bigrams,
+    "events_asof": q_events_asof,
+    "topk_tokens_by_source": q_topk_tokens_by_source,
+    "tfidf_terms": q_tfidf_terms,
+    "source_overlap": q_source_overlap,
 }
 
 ORACLES = {
@@ -2572,4 +2761,8 @@ ORACLES = {
     "repetition_signals": SQL_REPETITION_SIGNALS,
     "mix_sources": SQL_MIX_SOURCES,
     "rare_bigrams": SQL_RARE_BIGRAMS,
+    "events_asof": SQL_EVENTS_ASOF,
+    "topk_tokens_by_source": SQL_TOPK_TOKENS_BY_SOURCE,
+    "tfidf_terms": SQL_TFIDF_TERMS,
+    "source_overlap": SQL_SOURCE_OVERLAP,
 }

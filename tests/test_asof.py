@@ -1,0 +1,81 @@
+"""As-of join: brute-force parity, directions, ties, tolerance, plan shape."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from cuckoofilter_spark.operators.asof import asof_join
+
+# (key, lts) left rows × (key, rts, val, tb) right rows — includes: an
+# unmatched-left key (9), an unmatched-early left row, equal-ts inclusive
+# matches, and an equal-(key, rts) tie (key 2 @ rts 50, tb 7 vs 8)
+LEFT = [(1, 10), (1, 25), (1, 3), (2, 50), (2, 51), (9, 40)]
+RIGHT = [(1, 5, "a", 1), (1, 10, "b", 2), (1, 20, "c", 3),
+         (2, 50, "d", 7), (2, 50, "e", 8), (2, 60, "f", 9)]
+
+
+def _brute(direction):
+    out = {}
+    for k, lts in LEFT:
+        if direction == "backward":
+            cand = [r for r in RIGHT if r[0] == k and r[1] <= lts]
+            pick = max(cand, key=lambda r: (r[1], r[3])) if cand else None
+        else:
+            cand = [r for r in RIGHT if r[0] == k and r[1] >= lts]
+            pick = min(cand, key=lambda r: (r[1], r[3])) if cand else None
+        out[(k, lts)] = pick[2] if pick else None
+    return out
+
+
+def _dfs(spark):
+    l = spark.createDataFrame(LEFT, "k int, lts int")
+    r = spark.createDataFrame(RIGHT, "k int, rts int, val string, tb int")
+    return l, r
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_matches_brute_force(spark, direction):
+    l, r = _dfs(spark)
+    got = {(row["k"], row["lts"]): row["val"]
+           for row in asof_join(l, r, on="k", left_ts="lts", right_ts="rts",
+                                value_cols=["val"], direction=direction,
+                                right_tiebreak="tb").collect()}
+    assert got == _brute(direction)
+
+
+def test_asof_tolerance_nulls_far_matches(spark):
+    l, r = _dfs(spark)
+    got = {(row["k"], row["lts"]): row["val"]
+           for row in asof_join(l, r, on="k", left_ts="lts", right_ts="rts",
+                                value_cols=["val"], right_tiebreak="tb",
+                                tolerance_sec=5).collect()}
+    exp = {(k, lts): (v if v is not None and any(
+        r[0] == k and r[2] == v and lts - r[1] <= 5 for r in RIGHT) else None)
+        for (k, lts), v in _brute("backward").items()}
+    assert got == exp
+
+
+def test_asof_left_outer_keeps_all_rows(spark):
+    l, r = _dfs(spark)
+    out = asof_join(l, r, on="k", left_ts="lts", right_ts="rts",
+                    value_cols=["val", "tb"])
+    assert out.count() == len(LEFT)
+    assert set(out.columns) == {"k", "lts", "val", "tb"}
+
+
+def test_asof_single_shuffle(spark):
+    """The whole join is ONE exchange (the key hash partition for the
+    window) — the union and the carried-value projection are narrow."""
+    l, r = _dfs(spark)
+    out = asof_join(l, r, on="k", left_ts="lts", right_ts="rts",
+                    value_cols=["val"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1
+
+
+def test_asof_rejects_bad_args(spark):
+    l, r = _dfs(spark)
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(l, r, "k", "lts", "rts", ["val"], direction="nearest")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(l, r.withColumnRenamed("val", "lts"), "k", "lts", "rts",
+                  ["lts"])

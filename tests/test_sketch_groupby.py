@@ -107,3 +107,59 @@ def test_sql_hll_ndv_ignores_nulls(spark):
         " ('b', CAST(NULL AS BIGINT))"
         " t(k, v) GROUP BY k ORDER BY k").collect()
     assert [(r["k"], r["ndv"]) for r in got] == [("a", 1), ("b", 0)]
+
+
+def _topk_exact(ex):
+    return {(r["source"], str(r["tok"])): r["c"] for r in
+            ex.groupBy("source", "tok").agg(F.count("*").alias("c")).collect()}
+
+
+def test_topk_by_key_guarantee_and_top_present(spark):
+    """Every emitted (key, item) honors est ≤ true ≤ est + err, and each
+    key's exact top-3 is present — under a k small enough to force prunes."""
+    from cuckoofilter_spark.operators.sketch_groupby import topk_by_key
+    from cuckoofilter_spark.sources.tokens import synth_tokens_df
+
+    ex = (synth_tokens_df(spark, 300, seed=11, num_partitions=4)
+          .select("source", F.explode("tokens").alias("tok")))
+    exact = _topk_exact(ex)
+    rows = topk_by_key(ex, "source", "tok", k=64, m=64).collect()
+    assert any(r["err"] > 0 for r in rows)  # prunes actually happened
+    by_key = {}
+    for r in rows:
+        true = exact[(r["source"], r["item"])]
+        assert 0 < r["est"] <= true <= r["est"] + r["err"]
+        by_key.setdefault(r["source"], set()).add(r["item"])
+    for src in by_key:
+        top3 = sorted(((c, k) for (s, k), c in exact.items() if s == src),
+                      reverse=True)[:3]
+        assert {k for _, k in top3} <= by_key[src]
+
+
+def test_topk_by_key_salted_guarantee_holds(spark):
+    """Value-hash salting keeps per-value partial counts exact, so the
+    merged sketch still honors the deterministic bound per key."""
+    from cuckoofilter_spark.operators.sketch_groupby import topk_by_key
+    from cuckoofilter_spark.sources.tokens import synth_tokens_df
+
+    ex = (synth_tokens_df(spark, 300, seed=11, num_partitions=4)
+          .select("source", F.explode("tokens").alias("tok")))
+    exact = _topk_exact(ex)
+    for r in topk_by_key(ex, "source", "tok", k=64, m=64,
+                         salt_buckets=4).collect():
+        true = exact[(r["source"], r["item"])]
+        assert 0 < r["est"] <= true <= r["est"] + r["err"]
+
+
+def test_topk_by_key_no_prune_is_exact(spark):
+    """k larger than the key's value cardinality → est == true, err == 0."""
+    from cuckoofilter_spark.operators.sketch_groupby import topk_by_key
+
+    df = spark.createDataFrame(
+        [("a", i % 7) for i in range(100)] + [("b", 1)] * 10, "k string, v int")
+    rows = topk_by_key(df, "k", "v", k=64, m=64).collect()
+    exact = {(r["k"], str(r["v"])): r["c"] for r in
+             df.groupBy("k", "v").agg(F.count("*").alias("c")).collect()}
+    assert len(rows) == len(exact)
+    for r in rows:
+        assert r["err"] == 0 and r["est"] == exact[(r["k"], r["item"])]
