@@ -222,3 +222,35 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.col("doc_id"),
         F.md5(F.encode(canon, "UTF-8")).alias("fingerprint"),
     )
+
+
+#: PII patterns kept to the regex subset Java (Spark) and RE2 (DuckDB,
+#: the oracle engine) interpret identically: character classes, bounded
+#: repetition, \b word boundaries — no backrefs, no lookaround.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / phone numbers / IPv4s to typed placeholders, with
+    per-category match counts — the standard pre-training privacy pass.
+
+    Pure JVM narrow map (chained `regexp_replace` + `regexp_count` inside
+    whole-stage codegen): shuffle-free at any corpus size, no Python in
+    the hot path.  Replacement order (email → phone → ip) matters: the
+    email pattern consumes its host before the bare-IP pattern could
+    match a numeric host.  Adding a detector = one (name, regex, token)
+    row in PII_PATTERNS, kept to the Java∩RE2 regex subset so external
+    engines reproduce the redaction byte-for-byte.
+    """
+    out = docs
+    scrubbed = F.col(text_col)
+    for name, pat, _tok in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}", F.regexp_count(F.col(text_col),
+                                                         F.lit(pat)))
+    for _name, pat, tok in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, tok)
+    return out.withColumn("scrubbed", scrubbed)

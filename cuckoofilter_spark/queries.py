@@ -2625,6 +2625,66 @@ FROM (VALUES
 """
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (operators/text.pii_scrub): emails / phones /
+    IPv4s → typed placeholders with per-category counts, as a pure JVM
+    narrow map (chained regexp_replace/regexp_count in whole-stage
+    codegen — shuffle-free at any corpus size).  PII is planted IN-PLAN on
+    every 10th document (both engines construct the identical augmented
+    text), and the gate is the md5 of the scrubbed text itself — the
+    redaction must agree byte-for-byte with DuckDB running the same
+    Java∩RE2-subset patterns."""
+    from cuckoofilter_spark.operators.text import pii_scrub
+
+    docs = T(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"), F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-123-4567 from 10.0.0."),
+        (F.col("doc_id") % 250).cast("string"))
+    aug = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, planted)
+        .otherwise(F.col("text")).alias("text"))
+    return (pii_scrub(aug, "text")
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("n_email").cast("long").alias("n_email"),
+                    F.col("n_phone").cast("long").alias("n_phone"),
+                    F.col("n_ip").cast("long").alias("n_ip"),
+                    F.md5(F.encode("scrubbed", "UTF-8")).alias("scrubbed_md5")))
+
+
+SQL_PII_SCRUB = """
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0
+              THEN text || ' reach user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or 555-123-4567 from 10.0.0.'
+                   || CAST(doc_id % 250 AS VARCHAR)
+              ELSE text END AS text
+  FROM documents),
+s AS (
+  SELECT doc_id, text,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g'),
+           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')
+         AS scrubbed
+  FROM aug)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text,
+         '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(text,
+         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ip,
+       md5(scrubbed) AS scrubbed_md5
+FROM s
+"""
+
+
 QUERIES = {
     "cf_member_parts": q_cf_member_parts,
     "cf_build_fpr": q_cf_build_fpr,
@@ -2694,6 +2754,7 @@ QUERIES = {
     "topk_tokens_by_source": q_topk_tokens_by_source,
     "tfidf_terms": q_tfidf_terms,
     "source_overlap": q_source_overlap,
+    "pii_scrub": q_pii_scrub,
 }
 
 ORACLES = {
@@ -2765,4 +2826,5 @@ ORACLES = {
     "topk_tokens_by_source": SQL_TOPK_TOKENS_BY_SOURCE,
     "tfidf_terms": SQL_TFIDF_TERMS,
     "source_overlap": SQL_SOURCE_OVERLAP,
+    "pii_scrub": SQL_PII_SCRUB,
 }

@@ -78,3 +78,26 @@ def test_repetition_signals_shuffle_free(spark, sf01_dir):
     df = repetition_signals(spark.read.parquet(f"{sf01_dir}/documents.parquet"))
     assert count_exchanges(df) == 0
     assert read_schema_columns(df) == ["doc_id", "text"]
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from cuckoofilter_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b-c_d@ex-1.co.uk now 555-123-4567 or 10.0.0.255 end"),
+         (2, "no pii here just words"),
+         (3, "two mails x@y.io z@w.ai and 999.999.999.999")],
+        "doc_id int, text string")
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert got[1]["scrubbed"] == "mail <EMAIL> now <PHONE> or <IP> end"
+    assert (got[1]["n_email"], got[1]["n_phone"], got[1]["n_ip"]) == (1, 1, 1)
+    assert got[2]["scrubbed"] == got[2]["text"]
+    assert got[3]["n_email"] == 2 and got[3]["n_ip"] == 1  # regex, not semantic
+
+
+def test_pii_scrub_is_shuffle_free(spark):
+    from cuckoofilter_spark.operators.text import pii_scrub
+
+    df = spark.createDataFrame([(1, "a@b.co")], "doc_id int, text string")
+    plan = pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
