@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_SIDE, _TS, _TB = "__asof_side", "__asof_ts", "__asof_tb"
+_SIDE, _TS, _TB, _M = "__asof_side", "__asof_ts", "__asof_tb", "__asof_match"
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str,
@@ -59,9 +59,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     dup = set(value_cols) & set(left.columns)
     if dup:
         raise ValueError(f"value_cols collide with left columns: {sorted(dup)}")
-    for c in (_SIDE, _TS, _TB):
+    for c in (_SIDE, _TS, _TB, _M):
         if c in left.columns or c in right.columns:
             raise ValueError(f"reserved column name in input: {c}")
+    if "__match_ts" in value_cols:
+        raise ValueError("reserved value column name: __match_ts")
 
     tb = F.col(right_tiebreak) if right_tiebreak else F.lit(0)
     r = right.select(
@@ -86,16 +88,23 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     w = (Window.partitionBy(on).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
-    carried = both
-    for c in value_cols:
-        carried = carried.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    # carry the whole matched right ROW as one struct: the struct is
+    # non-null for every right row even when its fields are null, so (a)
+    # a NULL-valued nearest right row is still the match (its null wins,
+    # not a stale older value), (b) every value column comes from the
+    # SAME right row, and (c) tolerance measures that row's own timestamp
+    payload = F.when(F.col(_SIDE) == 0,
+                     F.struct(F.col(_TS).alias("__match_ts"),
+                              *[F.col(c) for c in value_cols]))
+    carried = both.withColumn(_M, F.last(payload, ignorenulls=True).over(w))
+    take = F.col(_M)
     if tolerance_sec is not None:
-        matched_ts = F.last(F.when(F.col(_SIDE) == 0, F.col(_TS)),
-                            ignorenulls=True).over(w)
-        gap = F.abs(F.col(_TS).cast("double") - matched_ts.cast("double"))
-        for c in value_cols:
-            carried = carried.withColumn(
-                c, F.when(gap <= tolerance_sec, F.col(c)))
+        is_ts = both.schema[_TS].dataType.typeName().startswith("timestamp")
+        secs = (lambda c: c.cast("timestamp").cast("double")) if is_ts \
+            else (lambda c: c.cast("double"))
+        gap = F.abs(secs(F.col(_TS)) - secs(F.col(_M)["__match_ts"]))
+        take = F.when(gap <= tolerance_sec, F.col(_M))
 
     return (carried.where(F.col(_SIDE) == 1)
-            .drop(_SIDE, _TS, _TB))
+            .select(*[c for c in left.columns],
+                    *[take[c].alias(c) for c in value_cols]))

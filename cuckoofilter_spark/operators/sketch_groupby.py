@@ -117,12 +117,16 @@ def topk_by_key(df: DataFrame, key: str, value: str, k: int = 1024,
     key_t = dict(df.dtypes)[key]
     out_schema = f"{key} {key_t}, item string, est long, err long"
 
-    def _build(kdf: pd.DataFrame) -> pd.DataFrame:
+    def _sketch_of(kdf: pd.DataFrame) -> SpaceSavingSketch:
         sk = SpaceSavingSketch(k=k)
         vals = kdf[value].dropna()
         if len(vals):
             sk.update(vals.to_numpy())
-        return pd.DataFrame({key: [kdf[key].iloc[0]], "blob": [sk.to_bytes()]})
+        return sk
+
+    def _build(kdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({key: [kdf[key].iloc[0]],
+                             "blob": [_sketch_of(kdf).to_bytes()]})
 
     def _emit(sk: SpaceSavingSketch, kval) -> pd.DataFrame:
         top = sk.top(m)
@@ -141,11 +145,7 @@ def topk_by_key(df: DataFrame, key: str, value: str, k: int = 1024,
         return _emit(acc, kdf[key].iloc[0])
 
     def _direct(kdf: pd.DataFrame) -> pd.DataFrame:
-        sk = SpaceSavingSketch(k=k)
-        vals = kdf[value].dropna()
-        if len(vals):
-            sk.update(vals.to_numpy())
-        return _emit(sk, kdf[key].iloc[0])
+        return _emit(_sketch_of(kdf), kdf[key].iloc[0])
 
     if salt_buckets:
         salted = df.withColumn(

@@ -242,9 +242,14 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     whole-stage codegen): shuffle-free at any corpus size, no Python in
     the hot path.  Replacement order (email → phone → ip) matters: the
     email pattern consumes its host before the bare-IP pattern could
-    match a numeric host.  Adding a detector = one (name, regex, token)
-    row in PII_PATTERNS, kept to the Java∩RE2 regex subset so external
-    engines reproduce the redaction byte-for-byte.
+    match a numeric host.  The `n_<category>` columns are DETECTION
+    counts on the raw text, each category independently — when patterns
+    overlap (an email whose host is an IP), a category can be detected
+    yet redacted under an earlier category's placeholder, so counts
+    reconcile with raw-text matches, not with placeholder occurrences in
+    `scrubbed`.  Adding a detector = one (name, regex, token) row in
+    PII_PATTERNS, kept to the Java∩RE2 regex subset so external engines
+    reproduce the redaction byte-for-byte.
     """
     out = docs
     scrubbed = F.col(text_col)

@@ -2582,11 +2582,10 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     style), so the error stays relative to the INTERSECTION, which is what
     a contamination check needs."""
     from cuckoofilter_spark.operators.sketch_build import build_sketch
-    from cuckoofilter_spark.sketches.kmv import (KMVSketch,
-                                                 kmv_intersection_estimate,
-                                                 kmv_union_estimate)
+    from cuckoofilter_spark.sketches.kmv import KMVSketch, kmv_jaccard_estimate
     from cuckoofilter_spark.sources.tokens import synth_tokens_df
 
+    K = 4096
     toks = synth_tokens_df(spark, 1000, seed=42, num_partitions=8)
     ex = (toks.select("source", F.explode("tokens").alias("tok"))
           .persist())
@@ -2594,22 +2593,21 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         sources = sorted(r["source"] for r in ex.select("source").distinct()
                          .collect())
         sk = {s: build_sketch(ex.where(F.col("source") == s), "tok",
-                              lambda pid: KMVSketch(k=4096, seed=3),
+                              lambda pid: KMVSketch(k=K, seed=3),
                               num_partitions=8)
               for s in sources}
         vocab = {s: ex.where(F.col("source") == s).select("tok").distinct()
                  for s in sources}
+        ndv = {s: vocab[s].count() for s in sources}
         rows = []
         for i, a in enumerate(sources):
             for b in sources[i + 1:]:
                 n_i = vocab[a].join(vocab[b], "tok", "left_semi").count()
-                n_u = vocab[a].union(vocab[b]).distinct().count()
+                n_u = ndv[a] + ndv[b] - n_i  # inclusion-exclusion: no union job
                 j_exact = n_i / n_u
-                est_i = kmv_intersection_estimate(sk[a], sk[b])
-                est_u = kmv_union_estimate(sk[a], sk[b])
-                j_est = est_i / est_u if est_u else 0.0
-                rel = 3.0 / (4096 - 1) ** 0.5
-                rows.append((a, b, bool(abs(j_est - j_exact) <= 2 * rel)))
+                j_est = kmv_jaccard_estimate(sk[a], sk[b])
+                rel = 6 * max(sk[a].rel_error, sk[b].rel_error)
+                rows.append((a, b, bool(abs(j_est - j_exact) <= rel)))
     finally:
         ex.unpersist()
     return spark.createDataFrame(

@@ -79,3 +79,43 @@ def test_asof_rejects_bad_args(spark):
     with pytest.raises(ValueError, match="collide"):
         asof_join(l, r.withColumnRenamed("val", "lts"), "k", "lts", "rts",
                   ["lts"])
+
+
+def test_asof_null_valued_nearest_row_wins_whole_row(spark):
+    """The nearest right row is the match even when one of its values is
+    NULL — and all value columns come from that SAME row (no stitching
+    values from different right rows)."""
+    l = spark.createDataFrame([(1, 25)], "k int, lts int")
+    r = spark.createDataFrame([(1, 5, "a", 100), (1, 20, None, 200)],
+                              "k int, rts int, val string, amt int")
+    row = asof_join(l, r, on="k", left_ts="lts", right_ts="rts",
+                    value_cols=["val", "amt"]).collect()[0]
+    assert row["val"] is None and row["amt"] == 200
+
+
+def test_asof_tolerance_gates_on_matched_rows_own_ts(spark):
+    """Tolerance measures the matched row's own timestamp — a far-away
+    older row's value must not leak through a near NULL-valued match."""
+    l = spark.createDataFrame([(1, 25)], "k int, lts int")
+    r = spark.createDataFrame([(1, 5, "a", 100), (1, 20, None, 200)],
+                              "k int, rts int, val string, amt int")
+    row = asof_join(l, r, on="k", left_ts="lts", right_ts="rts",
+                    value_cols=["val", "amt"], tolerance_sec=10).collect()[0]
+    assert row["val"] is None and row["amt"] == 200  # ts=20 row, gap 5 <= 10
+    row = asof_join(l, r, on="k", left_ts="lts", right_ts="rts",
+                    value_cols=["val", "amt"], tolerance_sec=3).collect()[0]
+    assert row["val"] is None and row["amt"] is None  # gap 5 > 3
+
+
+def test_asof_tolerance_on_timestamp_ntz(spark):
+    """tolerance_sec must work on TIMESTAMP_NTZ — this repo's parquet
+    timestamp type (events.ts, orders.o_orderdate)."""
+    l = spark.sql("SELECT 1 AS k, TIMESTAMP_NTZ'2024-01-01 00:01:00' AS lts")
+    r = spark.sql(
+        "SELECT 1 AS k, TIMESTAMP_NTZ'2024-01-01 00:00:00' AS rts, 'x' AS val")
+    ok = asof_join(l, r, on="k", left_ts="lts", right_ts="rts",
+                   value_cols=["val"], tolerance_sec=120).collect()[0]
+    assert ok["val"] == "x"
+    far = asof_join(l, r, on="k", left_ts="lts", right_ts="rts",
+                    value_cols=["val"], tolerance_sec=30).collect()[0]
+    assert far["val"] is None
