@@ -2683,6 +2683,35 @@ FROM s
 """
 
 
+def q_events_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed rollup (the hypertable-style day × event_type grid):
+    event count, distinct users, and cents-integer value sum per
+    (day, event_type).  One map-side-combinable aggregation shuffle on the
+    (day, type) grid key — grid cardinality is days × types, so the
+    reduced relation is tiny at any corpus size; countDistinct adds the
+    standard two-phase expand but keys stay 8-byte.  Exact."""
+    ev = T(spark, sf_dir, "events")
+    return (ev.groupBy(F.date_trunc("day", F.col("ts").cast("timestamp"))
+                       .cast("date").alias("day"), "event_type")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.countDistinct("user_id").cast("long").alias("n_users"),
+                 F.sum(F.round(F.col("value") * 10000).cast("long"))
+                 .cast("long").alias("value_x1e4"))
+            .select(F.col("day").cast("string").alias("day"), "event_type",
+                    "n_events", "n_users", "value_x1e4"))
+
+
+SQL_EVENTS_RATE = """
+SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value_x1e4
+FROM events
+GROUP BY date_trunc('day', ts), event_type
+"""
+
+
 QUERIES = {
     "cf_member_parts": q_cf_member_parts,
     "cf_build_fpr": q_cf_build_fpr,
@@ -2753,6 +2782,7 @@ QUERIES = {
     "tfidf_terms": q_tfidf_terms,
     "source_overlap": q_source_overlap,
     "pii_scrub": q_pii_scrub,
+    "events_rate": q_events_rate,
 }
 
 ORACLES = {
@@ -2825,4 +2855,5 @@ ORACLES = {
     "tfidf_terms": SQL_TFIDF_TERMS,
     "source_overlap": SQL_SOURCE_OVERLAP,
     "pii_scrub": SQL_PII_SCRUB,
+    "events_rate": SQL_EVENTS_RATE,
 }
