@@ -20,8 +20,13 @@ union+window formulation instead:
 
 Shuffled bytes = |left| + |right| rows exactly once.  Skew: a hot key's
 rows land in one task (inherent to per-key ordering); the window itself is
-streaming so memory is bounded — for extreme key skew, range-partition the
-timeline per key upstream and run per-slice with boundary carry-in.
+streaming so memory is bounded.  For extreme key skew pass
+``skew_buckets=B``: the timeline is range-cut into B equal-width slices,
+each (key, slice) sorts independently (a hot key fans out across B
+tasks), and a per-(key, slice) summary relation — one row per slice, the
+slice's nearest right row — is prefix-carried across slices and joined
+back (tiny relation, AQE-broadcastable).  Output is provably identical to
+the single-window path (equality-gated in tests).
 
 Semantics matched to DuckDB's ASOF JOIN (the oracle engine), plus a
 deterministic ``right_tiebreak`` for equal (key, right_ts) rows which the
@@ -39,13 +44,15 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _SIDE, _TS, _TB, _M = "__asof_side", "__asof_ts", "__asof_tb", "__asof_match"
+_B, _IN, _CARRY = "__asof_bucket", "__asof_in", "__asof_carry"
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: str,
               left_ts: str, right_ts: str, value_cols: list[str],
               direction: str = "backward",
               right_tiebreak: str | None = None,
-              tolerance_sec: float | None = None) -> DataFrame:
+              tolerance_sec: float | None = None,
+              skew_buckets: int | None = None) -> DataFrame:
     """Left as-of join: every ``left`` row, with ``value_cols`` from the
     nearest preceding (backward) / following (forward) ``right`` row of the
     same ``on`` key; unmatched left rows keep nulls (left-outer semantics).
@@ -53,13 +60,16 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     ``right_tiebreak``: column ordering equal-(key, ts) right rows — the
     max (backward) / min (forward) wins deterministically.  ``tolerance_sec``
     drops matches farther than this many seconds from ``left_ts``.
+    ``skew_buckets``: hot-key path — range-cut the timeline into this many
+    slices so one key's rows sort in parallel tasks (identical output;
+    requires numeric or timestamp ts and non-null tiebreak values).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     dup = set(value_cols) & set(left.columns)
     if dup:
         raise ValueError(f"value_cols collide with left columns: {sorted(dup)}")
-    for c in (_SIDE, _TS, _TB, _M):
+    for c in (_SIDE, _TS, _TB, _M, _B, _IN, _CARRY):
         if c in left.columns or c in right.columns:
             raise ValueError(f"reserved column name in input: {c}")
     if "__match_ts" in value_cols:
@@ -85,8 +95,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         order = [F.col(_TS).asc(), F.col(_SIDE).asc(), F.col(_TB).asc()]
     else:
         order = [F.col(_TS).desc(), F.col(_SIDE).asc(), F.col(_TB).desc()]
-    w = (Window.partitionBy(on).orderBy(*order)
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+    is_ts = both.schema[_TS].dataType.typeName().startswith("timestamp")
+    secs = (lambda c: c.cast("timestamp").cast("double")) if is_ts \
+        else (lambda c: c.cast("double"))
 
     # carry the whole matched right ROW as one struct: the struct is
     # non-null for every right row even when its fields are null, so (a)
@@ -96,15 +108,70 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     payload = F.when(F.col(_SIDE) == 0,
                      F.struct(F.col(_TS).alias("__match_ts"),
                               *[F.col(c) for c in value_cols]))
-    carried = both.withColumn(_M, F.last(payload, ignorenulls=True).over(w))
+
+    if skew_buckets and skew_buckets > 1:
+        carried = _bucketed_match(both, on, order, payload, secs,
+                                  skew_buckets, direction)
+    else:
+        w = (Window.partitionBy(on).orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        carried = both.withColumn(_M, F.last(payload, ignorenulls=True).over(w))
     take = F.col(_M)
     if tolerance_sec is not None:
-        is_ts = both.schema[_TS].dataType.typeName().startswith("timestamp")
-        secs = (lambda c: c.cast("timestamp").cast("double")) if is_ts \
-            else (lambda c: c.cast("double"))
         gap = F.abs(secs(F.col(_TS)) - secs(F.col(_M)["__match_ts"]))
         take = F.when(gap <= tolerance_sec, F.col(_M))
 
     return (carried.where(F.col(_SIDE) == 1)
             .select(*[c for c in left.columns],
                     *[take[c].alias(c) for c in value_cols]))
+
+
+def _bucketed_match(both: DataFrame, on: str, order: list, payload,
+                    secs, n_buckets: int, direction: str) -> DataFrame:
+    """Hot-key variant of the carry-forward: range-cut the timeline into
+    ``n_buckets`` equal-width slices so ONE key's rows sort across
+    ``n_buckets`` independent tasks instead of one.
+
+    Per (key, slice) the usual window finds the in-slice match; what a
+    slice cannot see — a match in an earlier slice (later, for forward) —
+    arrives via the summary relation: one row per (key, slice) holding the
+    slice's own nearest right row, prefix-carried across slices with a
+    second window over that TINY relation (|keys|·B rows) and joined back
+    (AQE broadcasts it).  Equal timestamps always share a slice (the cut
+    is a pure function of ts), so tie-break semantics are unchanged and
+    the output is identical to the single-window path.
+    """
+    lo, hi = both.agg(F.min(secs(F.col(_TS))),
+                      F.max(secs(F.col(_TS)))).first()
+    if lo is None or hi is None or hi <= lo:
+        w = (Window.partitionBy(on).orderBy(*order)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        return both.withColumn(_M, F.last(payload, ignorenulls=True).over(w))
+    width = (hi - lo) / n_buckets
+    bucket = F.least(F.greatest(
+        F.floor((secs(F.col(_TS)) - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(n_buckets - 1)).cast("int")
+    b = both.withColumn(_B, bucket)
+
+    w_in = (Window.partitionBy(on, _B).orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    b = b.withColumn(_IN, F.last(payload, ignorenulls=True).over(w_in))
+
+    # per-(key, slice) nearest right row: max/min over the (ts, tb) pair
+    pick = F.max_by if direction == "backward" else F.min_by
+    summ = (b.where(F.col(_SIDE) == 0)
+            .groupBy(on, _B)
+            .agg(pick(payload, F.struct(F.col(_TS), F.col(_TB)))
+                 .alias("__slice_best")))
+    grid = b.select(on, _B).distinct()
+    border = F.col(_B).asc() if direction == "backward" else F.col(_B).desc()
+    w_carry = (Window.partitionBy(on).orderBy(border)
+               .rowsBetween(Window.unboundedPreceding, -1))
+    carry = (grid.join(summ, [on, _B], "left")
+             .withColumn(_CARRY, F.last("__slice_best", ignorenulls=True)
+                         .over(w_carry))
+             .select(on, _B, _CARRY))
+
+    return (b.join(carry, [on, _B], "left")
+            .withColumn(_M, F.coalesce(F.col(_IN), F.col(_CARRY)))
+            .drop(_B, _IN, _CARRY))

@@ -119,3 +119,49 @@ def test_asof_tolerance_on_timestamp_ntz(spark):
     far = asof_join(l, r, on="k", left_ts="lts", right_ts="rts",
                     value_cols=["val"], tolerance_sec=30).collect()[0]
     assert far["val"] is None
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_skew_buckets_identical_to_single_window(spark, direction):
+    """The hot-key range-bucketed path must return byte-identical results
+    to the single-window path — ties, NULL values, unmatched rows and a
+    hot key crossing every bucket boundary included."""
+    import random
+    rng = random.Random(7)
+    left_rows = [(k, rng.randrange(0, 1000))
+                 for k in (1, 1, 2, 9) for _ in range(40)]
+    left_rows += [(1, 0), (1, 999)]  # exact range endpoints
+    right_rows = [(k, rng.randrange(0, 1000),
+                   None if rng.random() < 0.2 else f"v{i}", i)
+                  for i, k in enumerate(k for k in (1, 1, 1, 2)
+                                        for _ in range(30))]
+    right_rows += [(1, 500, "tie_a", 900), (1, 500, "tie_b", 901)]
+    l = spark.createDataFrame(left_rows, "k int, lts int")
+    r = spark.createDataFrame(right_rows, "k int, rts int, val string, tb int")
+
+    kw = dict(on="k", left_ts="lts", right_ts="rts", value_cols=["val", "tb"],
+              direction=direction, right_tiebreak="tb")
+    plain = sorted(map(tuple, asof_join(l, r, **kw).collect()))
+    bucketed = sorted(map(tuple,
+                          asof_join(l, r, skew_buckets=8, **kw).collect()))
+    assert plain == bucketed
+    one = sorted(map(tuple, asof_join(l, r, skew_buckets=1, **kw).collect()))
+    assert plain == one  # B=1 degenerates to the single-window path
+
+
+def test_asof_skew_buckets_with_tolerance_and_degenerate_range(spark):
+    l = spark.createDataFrame([(1, 25), (1, 10)], "k int, lts int")
+    r = spark.createDataFrame([(1, 5, "a"), (1, 20, "b")],
+                              "k int, rts int, val string")
+    kw = dict(on="k", left_ts="lts", right_ts="rts", value_cols=["val"],
+              tolerance_sec=6)
+    plain = sorted(map(tuple, asof_join(l, r, **kw).collect()))
+    bucketed = sorted(map(tuple,
+                          asof_join(l, r, skew_buckets=4, **kw).collect()))
+    assert plain == bucketed == [(1, 10, "a"), (1, 25, "b")]
+    # all timestamps equal -> zero span -> falls back to one bucket
+    l0 = spark.createDataFrame([(1, 7)], "k int, lts int")
+    r0 = spark.createDataFrame([(1, 7, "x")], "k int, rts int, val string")
+    got = asof_join(l0, r0, on="k", left_ts="lts", right_ts="rts",
+                    value_cols=["val"], skew_buckets=4).collect()[0]
+    assert got["val"] == "x"
