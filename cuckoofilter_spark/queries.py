@@ -2440,7 +2440,8 @@ GROUP BY doc_id
 """
 
 
-def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_events_asof(spark: SparkSession, sf_dir: str,
+                  skew_buckets: int | None = None) -> DataFrame:
     """As-of join (operators/asof.py): each event picks up its user's most
     recent order as of the event time — ONE hash shuffle on the key via the
     union+window formulation, never the |events|×|orders-per-user| range
@@ -2459,12 +2460,22 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = asof_join(ev, od, on="user_id", left_ts="ts",
                        right_ts="o_orderdate",
                        value_cols=["o_orderkey", "order_cents"],
-                       right_tiebreak="o_orderkey")
+                       right_tiebreak="o_orderkey",
+                       skew_buckets=skew_buckets)
     return (joined.where(F.col("o_orderkey").isNotNull())
             .select(F.col("event_id").cast("long").alias("event_id"),
                     F.col("user_id").cast("long").alias("user_id"),
                     F.col("o_orderkey").cast("long").alias("o_orderkey"),
                     "order_cents"))
+
+
+def q_events_asof_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME as-of relation through the hot-key path: skew_buckets=8
+    range-cuts the timeline so one key's rows sort across 8 tasks with a
+    prefix-carried slice-summary join-back — gated against the identical
+    DuckDB oracle as `events_asof`, proving the skew plan changes nothing
+    but the parallelism."""
+    return q_events_asof(spark, sf_dir, skew_buckets=8)
 
 
 SQL_EVENTS_ASOF = """
@@ -2778,6 +2789,7 @@ QUERIES = {
     "mix_sources": q_mix_sources,
     "rare_bigrams": q_rare_bigrams,
     "events_asof": q_events_asof,
+    "events_asof_skewed": q_events_asof_skewed,
     "topk_tokens_by_source": q_topk_tokens_by_source,
     "tfidf_terms": q_tfidf_terms,
     "source_overlap": q_source_overlap,
@@ -2851,6 +2863,7 @@ ORACLES = {
     "mix_sources": SQL_MIX_SOURCES,
     "rare_bigrams": SQL_RARE_BIGRAMS,
     "events_asof": SQL_EVENTS_ASOF,
+    "events_asof_skewed": SQL_EVENTS_ASOF,
     "topk_tokens_by_source": SQL_TOPK_TOKENS_BY_SOURCE,
     "tfidf_terms": SQL_TFIDF_TERMS,
     "source_overlap": SQL_SOURCE_OVERLAP,
