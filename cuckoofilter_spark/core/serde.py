@@ -106,7 +106,8 @@ def serialize_filter(f: CuckooFilter | DynamicCuckooFilter) -> bytes:
 def deserialize_filter(data: bytes) -> CuckooFilter | DynamicCuckooFilter:
     magic, kind, max_ts, epb, bits, seed, n_tables, v_idx, v_fp = \
         _HDR.unpack_from(data, 0)
-    assert magic == _MAGIC, "bad filter blob"
+    if magic != _MAGIC:
+        raise ValueError(f"bad filter blob: magic {magic!r}, want {_MAGIC!r}")
     params = CuckooParams(max_table_size=max_ts, entries_per_bucket=epb,
                           bits_per_fp=bits, seed=seed)
     off = _HDR.size

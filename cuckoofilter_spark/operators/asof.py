@@ -60,6 +60,10 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     ``right_tiebreak``: column ordering equal-(key, ts) right rows — the
     max (backward) / min (forward) wins deterministically.  ``tolerance_sec``
     drops matches farther than this many seconds from ``left_ts``.
+    NULL timestamps follow SQL inequality semantics: a NULL ``right_ts``
+    row is never a match (filtered from the union), and a NULL ``left_ts``
+    row keeps all-null value columns — identical on the plain and
+    ``skew_buckets`` paths.
     ``skew_buckets``: hot-key path — range-cut the timeline into this many
     slices so one key's rows sort in parallel tasks (identical output;
     requires numeric or timestamp ts and non-null tiebreak values).
@@ -76,7 +80,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         raise ValueError("reserved value column name: __match_ts")
 
     tb = F.col(right_tiebreak) if right_tiebreak else F.lit(0)
-    r = right.select(
+    # NULL-ts right rows can never satisfy the inequality (SQL: NULL
+    # compares unknown), yet under the backward asc window they'd sort
+    # NULLS FIRST and be carried as ts = -infinity — and the skew_buckets
+    # path would instead drop them (NULL bucket).  Filter them out so both
+    # paths agree with SQL semantics.
+    r = right.where(F.col(right_ts).isNotNull()).select(
         F.col(on),
         F.col(right_ts).alias(_TS),
         F.lit(0).alias(_SIDE),
@@ -116,10 +125,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
         w = (Window.partitionBy(on).orderBy(*order)
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         carried = both.withColumn(_M, F.last(payload, ignorenulls=True).over(w))
-    take = F.col(_M)
+    # a NULL left_ts never matches anything (inequality vs NULL is
+    # unknown); without the guard a forward-direction NULL sorts last
+    # under desc and would wrongly pick up the final carried value
+    take = F.when(F.col(_TS).isNotNull(), F.col(_M))
     if tolerance_sec is not None:
         gap = F.abs(secs(F.col(_TS)) - secs(F.col(_M)["__match_ts"]))
-        take = F.when(gap <= tolerance_sec, F.col(_M))
+        take = F.when(F.col(_TS).isNotNull() & (gap <= tolerance_sec),
+                      F.col(_M))
 
     return (carried.where(F.col(_SIDE) == 1)
             .select(*[c for c in left.columns],

@@ -156,3 +156,51 @@ def topk_by_key(df: DataFrame, key: str, value: str, k: int = 1024,
                                   schema=f"{key} {key_t}, blob binary"))
         return partial.groupBy(key).applyInPandas(_merge_emit, schema=out_schema)
     return df.groupBy(key).applyInPandas(_direct, schema=out_schema)
+
+
+def kmv_by_key(df: DataFrame, key: str, value: str, k: int = 1024,
+               seed: int = 0, salt_buckets: int | None = None) -> DataFrame:
+    """(key, blob) — one KMV bottom-k distinct sketch per key, built in
+    ONE grouped aggregation job (vs a per-key driver loop of builds, which
+    is S separate Spark jobs at S keys).  The blobs support the theta-
+    sketch set operations (`sketches.kmv`): union / intersection /
+    Jaccard between any two keys from the collected S·k·8 bytes.
+
+    Skew: ``salt_buckets`` routes by VALUE hash to (key, salt) partial
+    sketches merged per key — KMV merge is a set union, so the salted
+    result is bit-identical to the unsalted one while any one reducer
+    sees ~1/salt_buckets of a hot key's rows.
+    """
+    from cuckoofilter_spark.sketches.kmv import KMVSketch
+
+    key_t = dict(df.dtypes)[key]
+
+    def _sketch_of(kdf: pd.DataFrame) -> bytes:
+        sk = KMVSketch(k=k, seed=seed)
+        vals = kdf[value].dropna()
+        if len(vals):
+            sk.update(vals.to_numpy(dtype=np.int64))
+        return sk.to_bytes()
+
+    def _build(kdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({key: [kdf[key].iloc[0]],
+                             "blob": [_sketch_of(kdf)]})
+
+    def _merge(kdf: pd.DataFrame) -> pd.DataFrame:
+        acc = None
+        for b in kdf["blob"]:
+            s = KMVSketch.from_bytes(bytes(b))
+            acc = s if acc is None else acc.merge(s)
+        return pd.DataFrame({key: [kdf[key].iloc[0]],
+                             "blob": [acc.to_bytes()]})
+
+    if salt_buckets:
+        salted = df.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(value)), F.lit(salt_buckets)))
+        partial = (salted.groupBy(key, "_salt")
+                   .applyInPandas(lambda kdf: _build(kdf.drop(columns=["_salt"])),
+                                  schema=f"{key} {key_t}, blob binary"))
+        return partial.groupBy(key).applyInPandas(
+            _merge, schema=f"{key} {key_t}, blob binary")
+    return df.groupBy(key).applyInPandas(
+        _build, schema=f"{key} {key_t}, blob binary")

@@ -1741,12 +1741,15 @@ def q_fasta_kmers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``ecoli_small.fna``, then probe every distinct k-mer through the
     Spark-side UDF — all are true members (zero false negatives), so the
     surviving rows equal the exact distinct k-mer set the oracle computes
-    by slicing the same file in SQL."""
+    by slicing the same file in SQL.  Both the build and the scan run the
+    CHUNKED byte-range path (chunk_bytes=256 fans this 1.1 kB file into
+    ~5 tasks — the same multi-task shape a 3 GB genome gets at the 16 MiB
+    default), so the oracle gates chunk-boundary k-mer reassembly, not
+    just the whole-file parse."""
     from cuckoofilter_spark.sources.fasta import (
         build_fasta_filter,
         cf_contains_kmer_udf,
         fasta_kmers_df,
-        kmer_hashes,
         parse_fasta,
         _read_text,
     )
@@ -1754,9 +1757,11 @@ def q_fasta_kmers(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, seq = parse_fasta(_read_text(FASTA_PATH))
     n = max(1, len(seq) - FASTA_K + 1)
     params = CuckooParams(max_table_size=2 * n, bits_per_fp=16)
-    filt = build_fasta_filter(spark, [FASTA_PATH], FASTA_K, params, dedup=False)
+    filt = build_fasta_filter(spark, [FASTA_PATH], FASTA_K, params,
+                              dedup=False, chunk_bytes=256)
     contains = cf_contains_kmer_udf(spark, filt, FASTA_K)
-    kmers = fasta_kmers_df(spark, [FASTA_PATH], FASTA_K).select("kmer").distinct()
+    kmers = (fasta_kmers_df(spark, [FASTA_PATH], FASTA_K, chunk_bytes=256)
+             .select("kmer").distinct())
     return kmers.filter(contains(F.col("kmer")))
 
 
@@ -1985,42 +1990,27 @@ def q_tokens_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     256-token training chunks via the sketch-bucketed prefix sum
     (operators/pipeline.pack_chunks, tokens_col path — no text detour).
     Gates: token conservation, chunk count = ceil(total/seq_len), every
-    chunk full except (at most) the final one, and PARTITIONING
-    INVARIANCE — the num_buckets=32 and num_buckets=8 builds produce
-    byte-identical (chunk_id, n_tok, chunk_md5) relations, the packing
-    analog of the north rule's identical-estimates-at-N-and-4N
-    obligation."""
+    chunk full except (at most) the final one.  The num_buckets
+    PARTITIONING-INVARIANCE proof (8-bucket and 32-bucket builds produce
+    byte-identical chunk relations — the packing analog of the north
+    rule's identical-estimates-at-N-and-4N obligation) lives in pytest
+    (`test_pipeline.test_tokens_pack_bucket_invariance`), so the oracle
+    query runs ONE pack pipeline, not two."""
     from cuckoofilter_spark.operators.pipeline import pack_chunks
     from cuckoofilter_spark.sources.tokens import synth_tokens_df
 
     toks = (synth_tokens_df(spark, TOKPACK_DOCS, seed=42, num_partitions=8)
             .withColumn("_ord", F.substring("doc_id", 4, 8).cast("long")))
-    # `a` feeds two actions (summary aggregate + invariance join) — persist
-    # so the 32-bucket pack pipeline runs once, released before returning
     a = pack_chunks(toks, TOKPACK_SEQ, order_col="_ord",
-                    tokens_col="tokens", num_buckets=32).persist()
-    try:
-        b = pack_chunks(toks, TOKPACK_SEQ, order_col="_ord",
-                        tokens_col="tokens", num_buckets=8)
-
-        total = int(toks.agg(F.sum("n_tok")).collect()[0][0])
-        sa = a.agg(
-            F.count("*").alias("nc"), F.sum("n_tok").alias("st"),
-            F.sum(F.when(F.col("n_tok") != TOKPACK_SEQ, 1).otherwise(0))
-            .alias("npartial"),
-            F.max(F.when(F.col("n_tok") != TOKPACK_SEQ, F.col("chunk_id")))
-            .alias("partial_id"),
-            F.max("chunk_id").alias("maxid")).collect()[0]
-        av = a.select("chunk_id", F.col("n_tok").alias("na"),
-                      F.col("chunk_md5").alias("ma"))
-        bv = b.select("chunk_id", F.col("n_tok").alias("nb"),
-                      F.col("chunk_md5").alias("mb"))
-        n_mismatch = (av.join(bv, "chunk_id", "full")
-                      .filter(F.col("ma").isNull() | F.col("mb").isNull()
-                              | (F.col("na") != F.col("nb"))
-                              | (F.col("ma") != F.col("mb"))).count())
-    finally:
-        a.unpersist()
+                    tokens_col="tokens", num_buckets=32)
+    total = int(toks.agg(F.sum("n_tok")).collect()[0][0])
+    sa = a.agg(
+        F.count("*").alias("nc"), F.sum("n_tok").alias("st"),
+        F.sum(F.when(F.col("n_tok") != TOKPACK_SEQ, 1).otherwise(0))
+        .alias("npartial"),
+        F.max(F.when(F.col("n_tok") != TOKPACK_SEQ, F.col("chunk_id")))
+        .alias("partial_id"),
+        F.max("chunk_id").alias("maxid")).collect()[0]
 
     want_partial = 1 if total % TOKPACK_SEQ else 0
     return _bool_row(
@@ -2032,7 +2022,6 @@ def q_tokens_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         only_last_chunk_partial=(
             int(sa["npartial"]) == want_partial
             and (want_partial == 0 or int(sa["partial_id"]) == int(sa["maxid"]))),
-        partitioning_invariant=(n_mismatch == 0),
     )
 
 
@@ -2040,7 +2029,6 @@ SQL_TOKENS_PACK = f"""
 SELECT CAST(TRUE AS BOOLEAN) AS chunk_count_ok,
        CAST({TOKPACK_DOCS} AS BIGINT) AS n_docs,
        CAST(TRUE AS BOOLEAN) AS only_last_chunk_partial,
-       CAST(TRUE AS BOOLEAN) AS partitioning_invariant,
        CAST({TOKPACK_SEQ} AS BIGINT) AS seq_len,
        CAST(TRUE AS BOOLEAN) AS tokens_conserved
 """
@@ -2585,42 +2573,52 @@ FROM s WHERE rn <= 3
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise source-vocabulary CONTAMINATION MATRIX on the input_hint
     table: Jaccard similarity of token vocabularies for every source pair,
-    estimated from one KMV bottom-k sketch per source (built distributed,
-    merged per key) and gated against the Spark-exact Jaccard.  At corpus
-    scale the exact version is a per-pair distinct-intersection over the
-    full vocabulary; the sketch version ships 6 × k samples to the driver.
-    KMV intersection works on the shared bottom-k sample (theta-sketch
-    style), so the error stays relative to the INTERSECTION, which is what
-    a contamination check needs."""
-    from cuckoofilter_spark.operators.sketch_build import build_sketch
+    estimated from one KMV bottom-k sketch per source — ALL sources built
+    in a single grouped sketch aggregation (``kmv_by_key``), not an
+    S-job driver loop — and gated against the Spark-exact Jaccard, itself
+    ONE distributed plan (vocab self-join on token → per-pair intersection
+    counts), not S² per-pair jobs.  Job count is constant in S; the only
+    driver-side data is S sketch blobs (S·k·8 bytes) and the S²/2 pair
+    counters.  KMV intersection works on the shared bottom-k sample
+    (theta-sketch style), so the error stays relative to the INTERSECTION,
+    which is what a contamination check needs."""
+    from cuckoofilter_spark.operators.sketch_groupby import kmv_by_key
     from cuckoofilter_spark.sketches.kmv import KMVSketch, kmv_jaccard_estimate
     from cuckoofilter_spark.sources.tokens import synth_tokens_df
 
     K = 4096
     toks = synth_tokens_df(spark, 1000, seed=42, num_partitions=8)
-    ex = (toks.select("source", F.explode("tokens").alias("tok"))
-          .persist())
+    ex = toks.select("source", F.explode("tokens").alias("tok"))
+    # one job: every source's KMV sketch from one grouped aggregation
+    sk = {r["source"]: KMVSketch.from_bytes(bytes(r["blob"]))
+          for r in kmv_by_key(ex, "source", "tok", k=K, seed=3,
+                              salt_buckets=8).collect()}
+    # exact gate, one distributed plan: distinct (source, tok) vocabulary,
+    # per-source sizes + token self-join for every pair's intersection
+    vocab = ex.distinct().persist()
     try:
-        sources = sorted(r["source"] for r in ex.select("source").distinct()
-                         .collect())
-        sk = {s: build_sketch(ex.where(F.col("source") == s), "tok",
-                              lambda pid: KMVSketch(k=K, seed=3),
-                              num_partitions=8)
-              for s in sources}
-        vocab = {s: ex.where(F.col("source") == s).select("tok").distinct()
-                 for s in sources}
-        ndv = {s: vocab[s].count() for s in sources}
-        rows = []
-        for i, a in enumerate(sources):
-            for b in sources[i + 1:]:
-                n_i = vocab[a].join(vocab[b], "tok", "left_semi").count()
-                n_u = ndv[a] + ndv[b] - n_i  # inclusion-exclusion: no union job
-                j_exact = n_i / n_u
-                j_est = kmv_jaccard_estimate(sk[a], sk[b])
-                rel = 6 * max(sk[a].rel_error, sk[b].rel_error)
-                rows.append((a, b, bool(abs(j_est - j_exact) <= rel)))
+        ndv = {r["source"]: r["ndv"]
+               for r in vocab.groupBy("source")
+               .agg(F.count("*").alias("ndv")).collect()}
+        a, b = vocab.alias("a"), vocab.alias("b")
+        inter = {(r["src_a"], r["src_b"]): r["n_i"]
+                 for r in a.join(b, (F.col("a.tok") == F.col("b.tok")) &
+                                 (F.col("a.source") < F.col("b.source")))
+                 .groupBy(F.col("a.source").alias("src_a"),
+                          F.col("b.source").alias("src_b"))
+                 .agg(F.count("*").alias("n_i")).collect()}
     finally:
-        ex.unpersist()
+        vocab.unpersist()
+    sources = sorted(ndv)
+    rows = []
+    for i, sa in enumerate(sources):
+        for sb in sources[i + 1:]:
+            n_i = inter.get((sa, sb), 0)
+            n_u = ndv[sa] + ndv[sb] - n_i  # inclusion-exclusion
+            j_exact = n_i / n_u
+            j_est = kmv_jaccard_estimate(sk[sa], sk[sb])
+            rel = 6 * max(sk[sa].rel_error, sk[sb].rel_error)
+            rows.append((sa, sb, bool(abs(j_est - j_exact) <= rel)))
     return spark.createDataFrame(
         rows, "src_a string, src_b string, within_bound boolean")
 

@@ -165,3 +165,23 @@ def test_asof_skew_buckets_with_tolerance_and_degenerate_range(spark):
     got = asof_join(l0, r0, on="k", left_ts="lts", right_ts="rts",
                     value_cols=["val"], skew_buckets=4).collect()[0]
     assert got["val"] == "x"
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+@pytest.mark.parametrize("skew", [None, 4])
+def test_asof_null_timestamps_never_match(spark, direction, skew):
+    """SQL inequality semantics: NULL right_ts rows are never carried as a
+    match, NULL left_ts rows keep all-null values — on BOTH window paths."""
+    l = spark.createDataFrame(
+        [(1, 10), (1, None), (9, None)], "k int, lts int")
+    r = spark.createDataFrame(
+        [(1, 5, "a", 1), (1, None, "ghost", 2), (9, None, "ghost", 3)],
+        "k int, rts int, val string, tb int")
+    got = {(row["k"], row["lts"]): row["val"]
+           for row in asof_join(l, r, on="k", left_ts="lts", right_ts="rts",
+                                value_cols=["val"], direction=direction,
+                                right_tiebreak="tb",
+                                skew_buckets=skew).collect()}
+    exp = {(1, 10): ("a" if direction == "backward" else None),
+           (1, None): None, (9, None): None}
+    assert got == exp

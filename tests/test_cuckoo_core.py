@@ -318,5 +318,5 @@ def test_serde_rejects_old_format_blob():
 
     from cuckoofilter_spark.core.serde import deserialize_filter
 
-    with pytest.raises(AssertionError, match="bad filter blob"):
+    with pytest.raises(ValueError, match="bad filter blob"):
         deserialize_filter(b"CKF1" + b"\x00" * 60)

@@ -358,6 +358,28 @@ def test_pack_chunks_tokens_col_matches_text_path(spark):
     assert a == b and len(a) > 1
 
 
+def test_tokens_pack_bucket_invariance(spark):
+    """num_buckets is a pure parallelism knob: the 8-bucket and 32-bucket
+    packs of the same token stream must produce byte-identical
+    (chunk_id, n_tok, chunk_md5) relations — the packing analog of the
+    north rule's identical-estimates-at-N-and-4N obligation.  (Moved here
+    from the q_tokens_pack oracle query, which now runs ONE pipeline.)"""
+    import pyspark.sql.functions as F
+
+    from cuckoofilter_spark.operators.pipeline import pack_chunks
+    from cuckoofilter_spark.sources.tokens import synth_tokens_df
+
+    toks = (synth_tokens_df(spark, 120, seed=42, num_partitions=8)
+            .withColumn("_ord", F.substring("doc_id", 4, 8).cast("long")))
+    a = {(r["chunk_id"], r["n_tok"], r["chunk_md5"])
+         for r in pack_chunks(toks, 256, order_col="_ord",
+                              tokens_col="tokens", num_buckets=32).collect()}
+    b = {(r["chunk_id"], r["n_tok"], r["chunk_md5"])
+         for r in pack_chunks(toks, 256, order_col="_ord",
+                              tokens_col="tokens", num_buckets=8).collect()}
+    assert a == b and len(a) > 1
+
+
 def test_mix_sources_empty_input_returns_empty(spark):
     from cuckoofilter_spark.operators.pipeline import mix_sources
 
