@@ -158,26 +158,64 @@ def run_at_isolated(cpus: int, n_docs: int) -> tuple[float, int, str]:
                        f"{out.stderr[-500:]}")
 
 
-def run_queries_once() -> dict[str, float]:
+def _cpu_time_total(spark) -> float:
+    """Cumulative executorCpuTime (sec) over completed stages via the UI
+    REST API.  Wall time on this host swings 5-15× under hypervisor steal
+    waves (BENCH/BASELINE.md); per-stage CPU time is the steal-immune
+    signal, so per-query deltas of this total make round-over-round
+    regressions attributable without solo reruns.  NaN if the UI is off."""
+    import urllib.request
+
+    url = spark.sparkContext.uiWebUrl
+    if not url:
+        return float("nan")
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+                f"{url}/api/v1/applications/{app}/stages?status=complete",
+                timeout=10) as r:
+            stages = json.load(r)
+        return sum(s.get("executorCpuTime", 0) for s in stages) / 1e9
+    except Exception:  # noqa: BLE001 — cpu column is best-effort
+        return float("nan")
+
+
+def run_queries_once() -> dict[str, dict[str, float]]:
     """One cold-session pass over every registered query (the round-2
     measurement semantics: shared family builds are paid by the first
-    query that needs them)."""
+    query that needs them).  Returns {"wall": {q: sec}, "cpu": {q: sec}} —
+    cpu = executorCpuTime delta around the query (driver-side Python time
+    is invisible to it; wall remains the end-to-end number)."""
     from cuckoofilter_spark.queries import QUERIES
     from cuckoofilter_spark.session import get_spark
 
-    spark = get_spark("bench-queries", master=f"local[{CPUS}]")
+    # get_spark turns the UI off by default — the bench session needs it
+    # for the REST cpu-time column; retain enough stage history that the
+    # suite-long totals never evict (eviction shrinks the running sum →
+    # bogus deltas)
+    spark = get_spark("bench-queries", master=f"local[{CPUS}]",
+                      **{"spark.ui.enabled": "true",
+                         "spark.ui.retainedStages": "20000"})
     # warm the session (scan + python workers + broadcast machinery) so the
     # alphabetically-first query isn't charged the cold start
     spark.read.parquet(f"{SF_DIR}/part.parquet").count()
-    QUERIES["hll_ndv"](spark, SF_DIR).count()
-    qtimes = {}
+    QUERIES["quantile_sketches"](spark, SF_DIR).count()
+    qtimes: dict[str, float] = {}
+    qcpu: dict[str, float] = {}
+    cpu0 = _cpu_time_total(spark)
     for name in bench_queries():
         t0 = time.time()
         n = QUERIES[name](spark, SF_DIR).count()
         qtimes[name] = round(time.time() - t0, 3)
+        cpu1 = _cpu_time_total(spark)
+        delta = cpu1 - cpu0
+        qcpu[name] = round(delta, 3) if delta == delta else float("nan")
+        cpu0 = cpu1
         assert n >= 0
     spark.stop()
-    return qtimes
+    if any(v != v for v in qcpu.values()):  # NaN — UI off, drop the column
+        qcpu = {}
+    return {"wall": qtimes, "cpu": qcpu}
 
 
 def run_queries_isolated() -> dict[str, float]:
@@ -249,12 +287,18 @@ def main() -> None:
     # first query in a family pays the shared build).
     suite_totals = []
     merged: dict[str, float] = {}
+    merged_cpu: dict[str, float] = {}
     for _ in range(QUERY_RUNS):
-        qtimes = run_queries_isolated()
+        pass_result = run_queries_isolated()
+        qtimes, qcpu = pass_result["wall"], pass_result.get("cpu", {})
         suite_totals.append(round(sum(qtimes.values()), 1))
         for k, v in qtimes.items():
             merged[k] = min(v, merged.get(k, v))
+        for k, v in qcpu.items():
+            merged_cpu[k] = min(v, merged_cpu.get(k, v))
     result["queries"] = merged
+    if merged_cpu:
+        result["queries_cpu"] = merged_cpu
     result["queries_band"] = {"runs": len(suite_totals),
                               "suite_sec_all": suite_totals,
                               "suite_sec_min": round(sum(merged.values()), 1)}

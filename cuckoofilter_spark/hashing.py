@@ -57,3 +57,86 @@ def hash64_bytes(values, seed: int = 0) -> np.ndarray:
             h = ((h ^ byte) * fnv_prime) & mask
         out[i] = h
     return hash64(out, seed=seed)
+
+
+_M32 = 0xFFFFFFFF
+
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def _fmix32(h: int) -> int:
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & _M32
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & _M32
+    h ^= h >> 16
+    return h
+
+
+def murmur3_x86_128(data: bytes, seed: int = 0) -> bytes:
+    """MurmurHash3 x86_128 (Austin Appleby's public-domain algorithm),
+    byte-exact: 16 little-endian output bytes.  This is the string-hash
+    backend the reference keeps wired but commented out
+    (``Utils/hash_function.cpp:37-39,53-57,65-66`` calls
+    ``MurmurHash3_x86_128(buff, len, seed, out)`` and takes ``out[0]`` —
+    the LOW 8 bytes — as the 64-bit key hash; the live path is CityHash64).
+    Implemented from the published algorithm, verified by SMHasher's
+    official verification constant (0xB3ECE62A) in pytest.  Parity
+    backend only — never on the Spark hot path (per-key Python)."""
+    h1 = h2 = h3 = h4 = seed & _M32
+    c1, c2, c3, c4 = 0x239B961B, 0xAB0E9789, 0x38B34AE5, 0xA1E38B93
+    n = len(data)
+    nblocks = n // 16
+    for i in range(nblocks):
+        k1, k2, k3, k4 = (
+            int.from_bytes(data[16 * i + 4 * j:16 * i + 4 * j + 4], "little")
+            for j in range(4))
+        k1 = (_rotl32((k1 * c1) & _M32, 15) * c2) & _M32
+        h1 = ((_rotl32(h1 ^ k1, 19) + h2) * 5 + 0x561CCD1B) & _M32
+        k2 = (_rotl32((k2 * c2) & _M32, 16) * c3) & _M32
+        h2 = ((_rotl32(h2 ^ k2, 17) + h3) * 5 + 0x0BCAA747) & _M32
+        k3 = (_rotl32((k3 * c3) & _M32, 17) * c4) & _M32
+        h3 = ((_rotl32(h3 ^ k3, 15) + h4) * 5 + 0x96CD1C35) & _M32
+        k4 = (_rotl32((k4 * c4) & _M32, 18) * c1) & _M32
+        h4 = ((_rotl32(h4 ^ k4, 13) + h1) * 5 + 0x32AC3B17) & _M32
+    tail = data[nblocks * 16:]
+    k1 = k2 = k3 = k4 = 0
+    t = len(tail)
+    if t >= 13:
+        k4 = int.from_bytes(tail[12:t].ljust(4, b"\0")[:t - 12], "little")
+        k4 = (_rotl32((k4 * c4) & _M32, 18) * c1) & _M32
+        h4 ^= k4
+    if t >= 9:
+        k3 = int.from_bytes(tail[8:min(t, 12)], "little")
+        k3 = (_rotl32((k3 * c3) & _M32, 17) * c4) & _M32
+        h3 ^= k3
+    if t >= 5:
+        k2 = int.from_bytes(tail[4:min(t, 8)], "little")
+        k2 = (_rotl32((k2 * c2) & _M32, 16) * c3) & _M32
+        h2 ^= k2
+    if t >= 1:
+        k1 = int.from_bytes(tail[0:min(t, 4)], "little")
+        k1 = (_rotl32((k1 * c1) & _M32, 15) * c2) & _M32
+        h1 ^= k1
+    h1 ^= n; h2 ^= n; h3 ^= n; h4 ^= n
+    h1 = (h1 + h2 + h3 + h4) & _M32
+    h2 = (h2 + h1) & _M32; h3 = (h3 + h1) & _M32; h4 = (h4 + h1) & _M32
+    h1 = _fmix32(h1); h2 = _fmix32(h2); h3 = _fmix32(h3); h4 = _fmix32(h4)
+    h1 = (h1 + h2 + h3 + h4) & _M32
+    h2 = (h2 + h1) & _M32; h3 = (h3 + h1) & _M32; h4 = (h4 + h1) & _M32
+    return b"".join(h.to_bytes(4, "little") for h in (h1, h2, h3, h4))
+
+
+def hash64_bytes_murmur3(values, seed: int = 5) -> np.ndarray:
+    """The reference's commented-out string-hash path, reproduced exactly:
+    ``uint64 hash[2]; MurmurHash3_x86_128(s, len, 5, hash); return
+    hash[0]`` (``Utils/hash_function.cpp:53-57``) — i.e. the low 8 output
+    bytes as a little-endian uint64, default seed 5.  Alternative backend
+    to ``hash64_bytes``; same signature, same uniformity contract."""
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        b = v.encode("utf-8") if isinstance(v, str) else v
+        out[i] = int.from_bytes(murmur3_x86_128(b, seed)[:8], "little")
+    return out

@@ -2721,150 +2721,482 @@ GROUP BY date_trunc('day', ts), event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# merged driver entries — the driver's correctness artifact records at most
+# 50 queries() entries (CORRECTNESS_r03 covered exactly the first 50 of 71,
+# r02 all 46 of 46), so related checks are consolidated below; EVERY check
+# from the unmerged suite still runs, inside a merged entry.  Three merge
+# shapes, all hash-exact:
+#   melt   — heterogeneous gate relations → (metric string, val string)
+#            rows, one per (sub-query, key, column); Spark CAST(x AS STRING)
+#            and DuckDB CAST(x AS VARCHAR) agree for the BIGINT / BOOLEAN /
+#            VARCHAR columns these gates emit (floats are already banned
+#            from query outputs repo-wide)
+#   union  — same-schema exact relations + a discriminator column
+#   join   — same-grain per-doc exact relations joined on doc_id
+# The unmerged q_* / SQL_* stay as the pytest-facing building blocks.
+# ---------------------------------------------------------------------------
+
+
+def _melt(name: str, df: DataFrame, keys: tuple[str, ...] = ()) -> DataFrame:
+    """(metric, val) rows: one per non-key column per row, metric =
+    name[.key…].column — the schema-free form that lets heterogeneous
+    1-row/keyed gate relations share one driver entry."""
+    out = None
+    for c in df.columns:
+        if c in keys:
+            continue
+        metric = F.concat_ws(
+            ".", F.lit(name), *[F.col(k).cast("string") for k in keys],
+            F.lit(c))
+        part = df.select(metric.alias("metric"),
+                         F.col(c).cast("string").alias("val"))
+        out = part if out is None else out.unionAll(part)
+    return out
+
+
+def _melt_sql(name: str, sql: str, cols: list[str],
+              keys: tuple[str, ...] = ()) -> str:
+    """DuckDB twin of ``_melt`` over an oracle statement."""
+    key_expr = " || '.' || ".join(f"CAST({k} AS VARCHAR)" for k in keys)
+    parts = []
+    for c in cols:
+        if c in keys:
+            continue
+        metric = f"'{name}' || '.' || " \
+                 + (f"{key_expr} || '.' || " if keys else "") + f"'{c}'"
+        parts.append(f"SELECT {metric} AS metric, "
+                     f"CAST({c} AS VARCHAR) AS val FROM ({sql})")
+    return "\nUNION ALL\n".join(parts)
+
+
+def q_filter_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cuckoo-filter lifecycle gates in one entry: build+FPR bound,
+    distributed delete, dynamic-chain growth + compaction, and the Bloom
+    companion — each sub-check unchanged (see the q_* building blocks)."""
+    return (_melt("cf_build_fpr", q_cf_build_fpr(spark, sf_dir))
+            .unionAll(_melt("cf_delete", q_cf_delete(spark, sf_dir)))
+            .unionAll(_melt("dcf_compaction", q_dcf_compaction(spark, sf_dir)))
+            .unionAll(_melt("bloom_membership",
+                            q_bloom_membership(spark, sf_dir))))
+
+
+SQL_FILTER_GATES = "\nUNION ALL\n".join([
+    _melt_sql("cf_build_fpr", SQL_CF_BUILD_FPR,
+              ["fpr_within_bound", "n_found", "n_keys", "n_neg",
+               "zero_false_negatives"]),
+    _melt_sql("cf_delete", SQL_CF_DELETE,
+              ["all_deletes_succeeded", "deleted_hits_within_bound",
+               "n_deleted", "n_keys", "odds_all_present"]),
+    _melt_sql("dcf_compaction", SQL_DCF_COMPACTION,
+              ["all_present_after", "all_present_before",
+               "compact_not_growing", "grew_chain", "n_inserted"]),
+    _melt_sql("bloom_membership", SQL_BLOOM_MEMBERSHIP,
+              ["fpp_within_bound", "n_found", "n_keys",
+               "zero_false_negatives"]),
+])
+
+
+def q_sketch_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count sketch set operations in one entry: global HLL NDV,
+    HLL union/intersection algebra, and theta-style KMV set ops."""
+    return (_melt("hll_ndv", q_hll_ndv(spark, sf_dir))
+            .unionAll(_melt("hll_set_algebra",
+                            q_hll_set_algebra(spark, sf_dir)))
+            .unionAll(_melt("kmv_set_ops", q_kmv_set_ops(spark, sf_dir))))
+
+
+SQL_SKETCH_SET_ALGEBRA = "\nUNION ALL\n".join([
+    _melt_sql("hll_ndv", SQL_HLL_NDV, ["exact_ndv", "within_3sigma"]),
+    _melt_sql("hll_set_algebra", SQL_HLL_SET_ALGEBRA,
+              ["inter_within_bound", "n_a", "n_b", "n_inter", "n_union",
+               "union_within_3sigma"]),
+    _melt_sql("kmv_set_ops", SQL_KMV_SET_OPS,
+              ["n_inter", "n_union", "inter_within_3sigma_relative",
+               "union_within_3sigma"]),
+])
+
+
+def q_quantile_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL and t-digest quantile gates — same (q_x100, within_bound)
+    relation, discriminated by sketch."""
+    a = q_kll_quantiles(spark, sf_dir).select(
+        F.lit("kll").alias("sketch"), "*")
+    b = q_tdigest_quantiles(spark, sf_dir).select(
+        F.lit("tdigest").alias("sketch"), "*")
+    return a.unionAll(b)
+
+
+SQL_QUANTILE_SKETCHES = f"""
+SELECT 'kll' AS sketch, * FROM ({_SQL_QUANTILES})
+UNION ALL
+SELECT 'tdigest' AS sketch, * FROM ({_SQL_QUANTILES})
+"""
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-sketch heavy hitters in one entry: count-min point
+    queries (keyed by supplier) and space-saving top-k discovery (keyed by
+    word)."""
+    return (_melt("cms", q_cms_heavy_hitters(spark, sf_dir),
+                  keys=("l_suppkey",))
+            .unionAll(_melt("topk_words", q_topk_words(spark, sf_dir),
+                            keys=("w",))))
+
+
+SQL_HEAVY_HITTERS = "\nUNION ALL\n".join([
+    _melt_sql("cms", SQL_CMS_HEAVY_HITTERS,
+              ["l_suppkey", "true_cnt", "overestimate_ok", "within_eps"],
+              keys=("l_suppkey",)),
+    _melt_sql("topk_words", SQL_TOPK_WORDS,
+              ["w", "true_cnt", "present_and_bounded"], keys=("w",)),
+])
+
+
+def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free per-doc text analytics in one entry: token/char/BPE-ish
+    stats ⨝ quality ratios ⨝ language id on doc_id (`n_words` appears in
+    two sub-relations with the same value — kept once)."""
+    return (q_token_stats(spark, sf_dir)
+            .join(q_quality(spark, sf_dir).drop("n_words"), "doc_id")
+            .join(q_lang_id(spark, sf_dir), "doc_id"))
+
+
+SQL_TEXT_SIGNALS = f"""
+SELECT a.*, b.n_stopwords, b.stop_ratio_x1e4, b.len_ok, b.has_stopwords,
+       c.lang, c.lang_pred, c.lang_match
+FROM ({SQL_TOKEN_STATS}) a
+JOIN ({SQL_QUALITY}) b ON a.doc_id = b.doc_id
+JOIN ({SQL_LANG_ID}) c ON a.doc_id = c.doc_id
+"""
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting in one entry: content md5 ⨝ rolling-hash
+    order-sensitivity/stability gates on doc_id."""
+    return (q_fingerprint(spark, sf_dir)
+            .join(q_rolling_fingerprint(spark, sf_dir), "doc_id"))
+
+
+SQL_FINGERPRINTS = f"""
+SELECT a.*, b.order_sensitive, b.rejoin_stable
+FROM ({SQL_FINGERPRINT}) a
+JOIN ({SQL_ROLLING_FINGERPRINT}) b ON a.doc_id = b.doc_id
+"""
+
+
+def q_doc_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-conditioned per-doc quality in one entry: Gopher repetition
+    signals ⨝ rare-bigram share on doc_id."""
+    return (q_repetition_signals(spark, sf_dir)
+            .join(q_rare_bigrams(spark, sf_dir), "doc_id"))
+
+
+SQL_DOC_RARITY = f"""
+SELECT a.*, b.n_bigrams, b.n_rare, b.rare_ratio_x1e4
+FROM ({SQL_REPETITION_SIGNALS}) a
+JOIN ({SQL_RARE_BIGRAMS}) b ON a.doc_id = b.doc_id
+"""
+
+
+def q_orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP and CUBE grouping-set aggregates — same schema,
+    discriminated by gset."""
+    a = q_orders_rollup(spark, sf_dir).select(
+        F.lit("rollup").alias("gset"), "*")
+    b = q_orders_cube(spark, sf_dir).select(F.lit("cube").alias("gset"), "*")
+    return a.unionAll(b)
+
+
+SQL_ORDERS_GROUPING_SETS = f"""
+SELECT 'rollup' AS gset, * FROM ({SQL_ORDERS_ROLLUP})
+UNION ALL
+SELECT 'cube' AS gset, * FROM ({SQL_ORDERS_CUBE})
+"""
+
+
+def q_events_asof_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of relation through BOTH physical paths — plain one-shuffle
+    window and the skew_buckets=8 hot-key plan — against the same oracle
+    relation twice: identical rows under each path label IS the
+    plan-changes-nothing proof."""
+    a = q_events_asof(spark, sf_dir).select(F.lit("plain").alias("path"), "*")
+    b = q_events_asof_skewed(spark, sf_dir).select(
+        F.lit("skew").alias("path"), "*")
+    return a.unionAll(b)
+
+
+SQL_EVENTS_ASOF_BOTH = f"""
+SELECT 'plain' AS path, * FROM ({SQL_EVENTS_ASOF})
+UNION ALL
+SELECT 'skew' AS path, * FROM ({SQL_EVENTS_ASOF})
+"""
+
+
+def q_packed_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized packing in one entry: the base chunk relation and the
+    shuffled-epoch composition — same (chunk_id, n_tok, chunk_md5) schema,
+    discriminated by stage."""
+    a = q_packed_chunks(spark, sf_dir).select(
+        F.lit("pack").alias("stage"), "*")
+    b = q_packed_epoch(spark, sf_dir).select(
+        F.lit("epoch").alias("stage"), "*")
+    return a.unionAll(b)
+
+
+SQL_PACKED_EPOCHS = f"""
+SELECT 'pack' AS stage, * FROM ({SQL_PACKED_CHUNKS})
+UNION ALL
+SELECT 'epoch' AS stage, * FROM ({SQL_PACKED_EPOCH})
+"""
+
+
+def q_ndv_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key NDV sketch GROUP BY on both grains in one entry: per-event-
+    type HLL on events and per-source salted HLL on the input_hint token
+    table."""
+    return (_melt("hll_by_key", q_hll_ndv_by_key(spark, sf_dir),
+                  keys=("event_type",))
+            .unionAll(_melt("tokens_by_source",
+                            q_tokens_ndv_by_source(spark, sf_dir),
+                            keys=("source",))))
+
+
+SQL_NDV_BY_KEY = "\nUNION ALL\n".join([
+    _melt_sql("hll_by_key", SQL_HLL_NDV_BY_KEY,
+              ["event_type", "exact_ndv", "within_3sigma"],
+              keys=("event_type",)),
+    _melt_sql("tokens_by_source", SQL_TOKENS_NDV_BY_SOURCE,
+              ["source", "within_3sigma"], keys=("source",)),
+])
+
+
+def q_streaming_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch-equivalence gates of the four streaming operators in one
+    entry: stateful per-key HLL, watermarked windowed NDV, bounded-state
+    cuckoo dedup, and space-saving top-k — each micro-batch fixture runs
+    unchanged."""
+    return (_melt("ndv", q_streaming_ndv(spark, sf_dir),
+                  keys=("event_type",))
+            .unionAll(_melt("windowed",
+                            q_streaming_windowed_ndv(spark, sf_dir),
+                            keys=("window_start_epoch",)))
+            .unionAll(_melt("dedup", q_streaming_dedup(spark, sf_dir)))
+            .unionAll(_melt("topk", q_streaming_topk_words(spark, sf_dir),
+                            keys=("w",))))
+
+
+SQL_STREAMING_SKETCHES = "\nUNION ALL\n".join([
+    _melt_sql("ndv", SQL_STREAMING_NDV,
+              ["event_type", "exact_ndv", "within_3sigma"],
+              keys=("event_type",)),
+    _melt_sql("windowed", SQL_STREAMING_WINDOWED_NDV,
+              ["window_start_epoch", "exact_ndv", "within_3sigma"],
+              keys=("window_start_epoch",)),
+    _melt_sql("dedup", SQL_STREAMING_DEDUP,
+              ["at_most_once", "drops_within_bound", "n_distinct_users"]),
+    _melt_sql("topk", SQL_STREAMING_TOPK_WORDS,
+              ["w", "true_cnt", "present_and_bounded"], keys=("w",)),
+])
+
+
+def q_emb_approx_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN accuracy gates in one entry: per-query IVF recall/score checks
+    and the RP-LSH near-dup recall/precision summary — both against their
+    exact counterparts computed in-plan."""
+    return (_melt("ivf", q_emb_topk_ivf(spark, sf_dir), keys=("q_id",))
+            .unionAll(_melt("lsh", q_emb_neardup_lsh(spark, sf_dir))))
+
+
+SQL_EMB_APPROX_GATES = "\nUNION ALL\n".join([
+    _melt_sql("ivf", SQL_EMB_TOPK_IVF,
+              ["q_id", "recall_ok", "scores_match"], keys=("q_id",)),
+    _melt_sql("lsh", SQL_EMB_NEARDUP_LSH,
+              ["n_exact", "recall_ok", "no_false_positives"]),
+])
+
+
+def q_pack_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline partitioning gates in one entry: token-table sequence
+    packing invariants and KLL-derived balanced range bucketing."""
+    return (_melt("tokens_pack", q_tokens_pack(spark, sf_dir))
+            .unionAll(_melt("balanced_buckets",
+                            q_balanced_buckets(spark, sf_dir))))
+
+
+SQL_PACK_GATES = "\nUNION ALL\n".join([
+    _melt_sql("tokens_pack", SQL_TOKENS_PACK,
+              ["chunk_count_ok", "n_docs", "only_last_chunk_partial",
+               "seq_len", "tokens_conserved"]),
+    _melt_sql("balanced_buckets", SQL_BALANCED_BUCKETS,
+              ["all_buckets_within_bound", "bounds_ascending",
+               "covers_all_rows", "n_rows"]),
+])
+
+
+def q_corpus_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus selection in one entry, anchored on the full
+    shuffle permutation: every doc's shuffle_rank, whether the stratified
+    md5-threshold sample kept it, and whether (and into which stratum)
+    temperature mixing kept it — all three sub-relations stay exact."""
+    sh = q_corpus_shuffle(spark, sf_dir)
+    st = q_stratified_sample(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("in_sample"))
+    mx = q_mix_sources(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("in_mix"), "stratum")
+    return (sh.join(st, "doc_id", "left").join(mx, "doc_id", "left")
+            .select("doc_id", "shuffle_rank",
+                    F.coalesce("in_sample", F.lit(False)).alias("in_sample"),
+                    F.coalesce("in_mix", F.lit(False)).alias("in_mix"),
+                    "stratum"))
+
+
+SQL_CORPUS_SAMPLING = f"""
+SELECT sh.doc_id, sh.shuffle_rank,
+       st.doc_id IS NOT NULL AS in_sample,
+       mx.doc_id IS NOT NULL AS in_mix,
+       mx.stratum
+FROM ({SQL_CORPUS_SHUFFLE}) sh
+LEFT JOIN ({SQL_STRATIFIED_SAMPLE}) st ON sh.doc_id = st.doc_id
+LEFT JOIN ({SQL_MIX_SOURCES}) mx ON sh.doc_id = mx.doc_id
+"""
+
+
+def q_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup in one entry: the digest-groupBy keeper relation
+    (melted per fingerprint) plus the incremental-ingest survivor set."""
+    surv = q_ingest_dedup(spark, sf_dir).select(
+        F.concat_ws(".", F.lit("ingest"), F.col("doc_id")).alias("metric"),
+        F.lit("survives").alias("val"))
+    return _melt("exact", q_exact_dedup(spark, sf_dir),
+                 keys=("fingerprint",)).unionAll(surv)
+
+
+SQL_DEDUP_INGEST = (
+    _melt_sql("exact", SQL_EXACT_DEDUP,
+              ["fingerprint", "keep_id", "cnt"], keys=("fingerprint",))
+    + f"""
+UNION ALL
+SELECT 'ingest' || '.' || doc_id AS metric, 'survives' AS val
+FROM ({SQL_INGEST_DEDUP})
+""")
+
+
+def q_media_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing in one entry: lossless binary round-trip byte
+    counts per media row plus the payload-pruned frame-sampling ×
+    resize-stage grid."""
+    return (_melt("pipeline", q_media_pipeline(spark, sf_dir),
+                  keys=("media_id",))
+            .unionAll(_melt("frames", q_media_frames(spark, sf_dir),
+                            keys=("media_id", "frame_idx"))))
+
+
+SQL_MEDIA_STAGES = "\nUNION ALL\n".join([
+    _melt_sql("pipeline", SQL_MEDIA_PIPELINE,
+              ["media_id", "media_type", "n_bytes"], keys=("media_id",)),
+    _melt_sql("frames", SQL_MEDIA_FRAMES,
+              ["media_id", "frame_idx", "resized_bytes"],
+              keys=("media_id", "frame_idx")),
+])
+
+
 QUERIES = {
     "cf_member_parts": q_cf_member_parts,
-    "cf_build_fpr": q_cf_build_fpr,
-    "cf_delete": q_cf_delete,
-    "dcf_compaction": q_dcf_compaction,
-    "bloom_membership": q_bloom_membership,
-    "hll_ndv": q_hll_ndv,
-    "hll_ndv_by_key": q_hll_ndv_by_key,
-    "hll_set_algebra": q_hll_set_algebra,
-    "kmv_set_ops": q_kmv_set_ops,
-    "cms_heavy_hitters": q_cms_heavy_hitters,
-    "topk_words": q_topk_words,
-    "kll_quantiles": q_kll_quantiles,
+    "filter_gates": q_filter_gates,
+    "tokens_cf_build": q_tokens_cf_build,
+    "word_membership": q_word_membership,
+    "ngram_membership": q_ngram_membership,
+    "routed_membership": q_routed_membership,
+    "fasta_kmers": q_fasta_kmers,
+    "bloom_pruned_join": q_bloom_pruned_join,
+    "sketch_set_algebra": q_sketch_set_algebra,
+    "ndv_by_key": q_ndv_by_key,
+    "heavy_hitters": q_heavy_hitters,
+    "quantile_sketches": q_quantile_sketches,
     "kll_quantiles_by_key": q_kll_quantiles_by_key,
-    "tdigest_quantiles": q_tdigest_quantiles,
-    "exact_dedup": q_exact_dedup,
-    "ingest_dedup": q_ingest_dedup,
+    "sql_sketch_agg": q_sql_sketch_agg,
+    "dedup_ingest": q_dedup_ingest,
     "passage_dedup": q_passage_dedup,
-    "token_stats": q_token_stats,
-    "quality": q_quality,
-    "lang_id": q_lang_id,
-    "fingerprint": q_fingerprint,
-    "rolling_fingerprint": q_rolling_fingerprint,
-    "media_pipeline": q_media_pipeline,
-    "media_frames": q_media_frames,
+    "text_signals": q_text_signals,
+    "fingerprints": q_fingerprints,
+    "doc_rarity": q_doc_rarity,
+    "pii_scrub": q_pii_scrub,
+    "media_stages": q_media_stages,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "neardup_clusters": q_neardup_clusters,
     "simhash_dups": q_simhash_dups,
+    "clean_corpus": q_clean_corpus,
+    "tokens_neardup": q_tokens_neardup,
     "emb_topk": q_emb_topk,
     "emb_neardup": q_emb_neardup,
-    "emb_topk_ivf": q_emb_topk_ivf,
-    "emb_neardup_lsh": q_emb_neardup_lsh,
+    "emb_approx_gates": q_emb_approx_gates,
     "events_dedup": q_events_dedup,
-    "salted_counts": q_salted_counts,
-    "routed_membership": q_routed_membership,
-    "ngram_membership": q_ngram_membership,
-    "streaming_ndv": q_streaming_ndv,
-    "streaming_windowed_ndv": q_streaming_windowed_ndv,
-    "streaming_dedup": q_streaming_dedup,
-    "streaming_topk_words": q_streaming_topk_words,
     "events_sessionize": q_events_sessionize,
-    "orders_rollup": q_orders_rollup,
-    "orders_cube": q_orders_cube,
+    "events_rate": q_events_rate,
+    "events_asof": q_events_asof_both,
+    "salted_counts": q_salted_counts,
+    "orders_grouping_sets": q_orders_grouping_sets,
     "top_parts_per_brand": q_top_parts_per_brand,
-    "word_membership": q_word_membership,
-    "clean_corpus": q_clean_corpus,
-    "bloom_pruned_join": q_bloom_pruned_join,
-    "fasta_kmers": q_fasta_kmers,
-    "tokens_cf_build": q_tokens_cf_build,
-    "tokens_neardup": q_tokens_neardup,
-    "tokens_pack": q_tokens_pack,
-    "streaming_tokens_ingest": q_streaming_tokens_ingest,
-    "tokens_ndv_by_source": q_tokens_ndv_by_source,
     "decontaminate": q_decontaminate,
     "pack_sequences": q_pack_sequences,
-    "packed_chunks": q_packed_chunks,
-    "packed_epoch": q_packed_epoch,
-    "stratified_sample": q_stratified_sample,
-    "corpus_shuffle": q_corpus_shuffle,
-    "balanced_buckets": q_balanced_buckets,
-    "sql_sketch_agg": q_sql_sketch_agg,
-    "repetition_signals": q_repetition_signals,
-    "mix_sources": q_mix_sources,
-    "rare_bigrams": q_rare_bigrams,
-    "events_asof": q_events_asof,
-    "events_asof_skewed": q_events_asof_skewed,
-    "topk_tokens_by_source": q_topk_tokens_by_source,
+    "packed_epochs": q_packed_epochs,
+    "pack_gates": q_pack_gates,
+    "corpus_sampling": q_corpus_sampling,
     "tfidf_terms": q_tfidf_terms,
+    "topk_tokens_by_source": q_topk_tokens_by_source,
     "source_overlap": q_source_overlap,
-    "pii_scrub": q_pii_scrub,
-    "events_rate": q_events_rate,
+    "streaming_sketches": q_streaming_sketches,
+    "streaming_tokens_ingest": q_streaming_tokens_ingest,
 }
 
 ORACLES = {
     "cf_member_parts": SQL_CF_MEMBER_PARTS,
-    "cf_build_fpr": SQL_CF_BUILD_FPR,
-    "cf_delete": SQL_CF_DELETE,
-    "dcf_compaction": SQL_DCF_COMPACTION,
-    "bloom_membership": SQL_BLOOM_MEMBERSHIP,
-    "hll_ndv": SQL_HLL_NDV,
-    "hll_ndv_by_key": SQL_HLL_NDV_BY_KEY,
-    "hll_set_algebra": SQL_HLL_SET_ALGEBRA,
-    "kmv_set_ops": SQL_KMV_SET_OPS,
-    "cms_heavy_hitters": SQL_CMS_HEAVY_HITTERS,
-    "topk_words": SQL_TOPK_WORDS,
-    "kll_quantiles": _SQL_QUANTILES,
+    "filter_gates": SQL_FILTER_GATES,
+    "tokens_cf_build": SQL_TOKENS_CF_BUILD,
+    "word_membership": SQL_WORD_MEMBERSHIP,
+    "ngram_membership": SQL_NGRAM_MEMBERSHIP,
+    "routed_membership": SQL_ROUTED_MEMBERSHIP,
+    "fasta_kmers": SQL_FASTA_KMERS,
+    "bloom_pruned_join": SQL_BLOOM_PRUNED_JOIN,
+    "sketch_set_algebra": SQL_SKETCH_SET_ALGEBRA,
+    "ndv_by_key": SQL_NDV_BY_KEY,
+    "heavy_hitters": SQL_HEAVY_HITTERS,
+    "quantile_sketches": SQL_QUANTILE_SKETCHES,
     "kll_quantiles_by_key": SQL_KLL_QUANTILES_BY_KEY,
-    "tdigest_quantiles": _SQL_QUANTILES,
-    "exact_dedup": SQL_EXACT_DEDUP,
-    "ingest_dedup": SQL_INGEST_DEDUP,
+    "sql_sketch_agg": SQL_SQL_SKETCH_AGG,
+    "dedup_ingest": SQL_DEDUP_INGEST,
     "passage_dedup": SQL_PASSAGE_DEDUP,
-    "token_stats": SQL_TOKEN_STATS,
-    "quality": SQL_QUALITY,
-    "lang_id": SQL_LANG_ID,
-    "fingerprint": SQL_FINGERPRINT,
-    "rolling_fingerprint": SQL_ROLLING_FINGERPRINT,
-    "media_pipeline": SQL_MEDIA_PIPELINE,
-    "media_frames": SQL_MEDIA_FRAMES,
+    "text_signals": SQL_TEXT_SIGNALS,
+    "fingerprints": SQL_FINGERPRINTS,
+    "doc_rarity": SQL_DOC_RARITY,
+    "pii_scrub": SQL_PII_SCRUB,
+    "media_stages": SQL_MEDIA_STAGES,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "minhash_lsh": SQL_MINHASH_LSH,
     "neardup_clusters": SQL_NEARDUP_CLUSTERS,
     "simhash_dups": SQL_SIMHASH_DUPS,
+    "clean_corpus": SQL_CLEAN_CORPUS,
+    "tokens_neardup": SQL_TOKENS_NEARDUP,
     "emb_topk": SQL_EMB_TOPK,
     "emb_neardup": SQL_EMB_NEARDUP,
-    "emb_topk_ivf": SQL_EMB_TOPK_IVF,
-    "emb_neardup_lsh": SQL_EMB_NEARDUP_LSH,
+    "emb_approx_gates": SQL_EMB_APPROX_GATES,
     "events_dedup": SQL_EVENTS_DEDUP,
-    "salted_counts": SQL_SALTED_COUNTS,
-    "routed_membership": SQL_ROUTED_MEMBERSHIP,
-    "ngram_membership": SQL_NGRAM_MEMBERSHIP,
-    "streaming_ndv": SQL_STREAMING_NDV,
-    "streaming_windowed_ndv": SQL_STREAMING_WINDOWED_NDV,
-    "streaming_dedup": SQL_STREAMING_DEDUP,
-    "streaming_topk_words": SQL_STREAMING_TOPK_WORDS,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
-    "orders_rollup": SQL_ORDERS_ROLLUP,
-    "orders_cube": SQL_ORDERS_CUBE,
+    "events_rate": SQL_EVENTS_RATE,
+    "events_asof": SQL_EVENTS_ASOF_BOTH,
+    "salted_counts": SQL_SALTED_COUNTS,
+    "orders_grouping_sets": SQL_ORDERS_GROUPING_SETS,
     "top_parts_per_brand": SQL_TOP_PARTS_PER_BRAND,
-    "word_membership": SQL_WORD_MEMBERSHIP,
-    "clean_corpus": SQL_CLEAN_CORPUS,
-    "bloom_pruned_join": SQL_BLOOM_PRUNED_JOIN,
-    "fasta_kmers": SQL_FASTA_KMERS,
-    "tokens_cf_build": SQL_TOKENS_CF_BUILD,
-    "tokens_neardup": SQL_TOKENS_NEARDUP,
-    "tokens_pack": SQL_TOKENS_PACK,
-    "streaming_tokens_ingest": SQL_STREAMING_TOKENS_INGEST,
-    "tokens_ndv_by_source": SQL_TOKENS_NDV_BY_SOURCE,
     "decontaminate": SQL_DECONTAMINATE,
     "pack_sequences": SQL_PACK_SEQUENCES,
-    "packed_chunks": SQL_PACKED_CHUNKS,
-    "packed_epoch": SQL_PACKED_EPOCH,
-    "stratified_sample": SQL_STRATIFIED_SAMPLE,
-    "corpus_shuffle": SQL_CORPUS_SHUFFLE,
-    "balanced_buckets": SQL_BALANCED_BUCKETS,
-    "sql_sketch_agg": SQL_SQL_SKETCH_AGG,
-    "repetition_signals": SQL_REPETITION_SIGNALS,
-    "mix_sources": SQL_MIX_SOURCES,
-    "rare_bigrams": SQL_RARE_BIGRAMS,
-    "events_asof": SQL_EVENTS_ASOF,
-    "events_asof_skewed": SQL_EVENTS_ASOF,
-    "topk_tokens_by_source": SQL_TOPK_TOKENS_BY_SOURCE,
+    "packed_epochs": SQL_PACKED_EPOCHS,
+    "pack_gates": SQL_PACK_GATES,
+    "corpus_sampling": SQL_CORPUS_SAMPLING,
     "tfidf_terms": SQL_TFIDF_TERMS,
+    "topk_tokens_by_source": SQL_TOPK_TOKENS_BY_SOURCE,
     "source_overlap": SQL_SOURCE_OVERLAP,
-    "pii_scrub": SQL_PII_SCRUB,
-    "events_rate": SQL_EVENTS_RATE,
+    "streaming_sketches": SQL_STREAMING_SKETCHES,
+    "streaming_tokens_ingest": SQL_STREAMING_TOKENS_INGEST,
 }

@@ -320,3 +320,33 @@ def test_serde_rejects_old_format_blob():
 
     with pytest.raises(ValueError, match="bad filter blob"):
         deserialize_filter(b"CKF1" + b"\x00" * 60)
+
+
+def test_murmur3_x86_128_smhasher_verification():
+    """The murmur3 parity backend IS MurmurHash3_x86_128: SMHasher's
+    official VerificationTest (hash keys {0..i-1} with seed 256-i for
+    i in 0..255, hash the concatenated digests with seed 0, low 4 bytes)
+    must equal the published constant for Murmur3C, 0xB3ECE62A."""
+    from cuckoofilter_spark.hashing import murmur3_x86_128
+
+    hashes = b"".join(murmur3_x86_128(bytes(range(i)), 256 - i)
+                      for i in range(256))
+    final = murmur3_x86_128(hashes, 0)
+    assert int.from_bytes(final[:4], "little") == 0xB3ECE62A
+
+
+def test_murmur3_string_backend_matches_reference_wiring():
+    """hash64_bytes_murmur3 = the reference's commented-out call shape:
+    MurmurHash3_x86_128(s, len, seed=5, out); return out[0] (low 8 bytes
+    little-endian).  str and bytes inputs agree; output is uniform-ish."""
+    import numpy as np
+
+    from cuckoofilter_spark.hashing import (
+        hash64_bytes_murmur3,
+        murmur3_x86_128,
+    )
+
+    out = hash64_bytes_murmur3(["abc", b"abc", "", "cuckoo filter"])
+    assert out[0] == out[1]
+    assert out[0] == int.from_bytes(murmur3_x86_128(b"abc", 5)[:8], "little")
+    assert out.dtype == np.uint64 and len(set(out.tolist())) == 3

@@ -72,6 +72,43 @@ def test_blas_neardup_no_driver_collect(spark, emb, monkeypatch):
     assert n > 0
 
 
+def test_ivf_topk_no_driver_collect(spark, emb, monkeypatch):
+    """VERDICT r3 #5: query vectors must not be collected either — with
+    centroids in hand (the bounded k-means sample is allowed), building
+    AND executing the whole IVF plan runs with DataFrame.collect
+    forbidden, so corpus-vs-corpus probing never bottlenecks the driver."""
+    from pyspark.sql import DataFrame
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    cent = kmeans_centroids(emb, n_clusters=16, seed=42, sample=500)
+
+    def boom(self):
+        raise AssertionError("driver-side collect in ivf_topk")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    n = ivf_topk(emb, queries, cent, k=5, nprobe=4).count()
+    assert n > 0
+
+
+def test_ivf_probe_cells_match_driver_argsort(spark, emb):
+    """The distributed probe-cell assignment equals the per-row NumPy
+    argsort computed locally (same GEMM, same tie behavior)."""
+    import numpy as np
+
+    from cuckoofilter_spark.operators.similarity import ivf_probe_cells
+
+    queries = emb.filter(F.col("vec_id") < 30)
+    cent = kmeans_centroids(emb, n_clusters=16, seed=42, sample=500)
+    got = {(r["q_id"], r["cell"])
+           for r in ivf_probe_cells(queries, cent, nprobe=4).collect()}
+    rows = queries.select("vec_id", "embedding").collect()
+    qm = np.array([np.asarray(r[1], dtype=np.float64) for r in rows])
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    top = np.argsort(-(qm @ cent.T), axis=1)[:, :4]
+    want = {(int(r[0]), int(c)) for r, row in zip(rows, top) for c in row}
+    assert got == want and len(want) == 30 * 4
+
+
 def test_kmeans_sampling_partitioning_invariant(spark, emb):
     """Hash-threshold sampling → identical centroids whatever the input
     partitioning (the north_rule N-vs-4N invariance), and no global sort."""
