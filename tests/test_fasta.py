@@ -122,13 +122,14 @@ def test_hash_kmer_batch_short_strings_no_crash():
     assert out[2] == kmer_hashes("ACGTACGTAC", 10)[0]
 
 
-def _synth_fna(path, n_bytes=30000, seed=7, multi_record=False):
+def _synth_fna(path, n_bytes=30000, seed=7, multi_record=False,
+               ident="synth test genome"):
     """Deterministic ACGT file with RAGGED line lengths (so newline density
     varies across byte ranges — the thing that makes chunk offsets
     non-trivial); optionally a mid-file '>' line, which the reference
     reader treats as sequence bytes."""
     rng = np.random.default_rng(seed)
-    lines = [">synth test genome"]
+    lines = [">" + ident]
     written = 0
     while written < n_bytes:
         n = int(rng.integers(1, 120))
@@ -215,3 +216,46 @@ def test_multi_record_fasta_matches_oracle_semantics(tmp_path):
     """
     oracle = [r[0] for r in duckdb.sql(sql).fetchall()]
     assert impl == oracle
+
+
+def test_fasta_datasource_matches_iterator_stream(spark, tmp_path):
+    """spark.read.format('fasta') = the reference FastaIterator's k-mer
+    stream (per-occurrence multiset, order-insensitive), partition-
+    parallel over byte-range chunks (SURVEY §2 #30)."""
+    from collections import Counter
+
+    from cuckoofilter_spark.sources.fasta_datasource import FastaDataSource
+
+    spark.dataSource.register(FastaDataSource)
+    fna = _synth_fna(tmp_path / "ds.fna", n_bytes=8000)
+    df = (spark.read.format("fasta")
+          .option("path", fna).option("k", K)
+          .option("chunk_bytes", 1024).load())
+    rows = df.collect()
+    _, seq = parse_fasta(open(fna).read())
+    want = Counter(kmer_strings(seq, K))
+    got = Counter(r["kmer"] for r in rows)
+    assert got == want
+    assert {r["seq_id"] for r in rows} == {"synth test genome"}
+    # it's a real relation: filters/aggregates compose
+    top = (df.groupBy("kmer").count().orderBy("count", "kmer")
+           .limit(1).collect())
+    assert top[0]["count"] >= 1
+
+
+def test_fasta_datasource_multi_file_and_validation(spark, tmp_path):
+    from cuckoofilter_spark.sources.fasta_datasource import FastaDataSource
+
+    spark.dataSource.register(FastaDataSource)
+    a = _synth_fna(tmp_path / "a.fna", n_bytes=600, seed=1, ident="rec a")
+    b = _synth_fna(tmp_path / "b.fna", n_bytes=600, seed=2, ident="rec b")
+    df = (spark.read.format("fasta")
+          .option("path", f"{a},{b}").option("k", K).load())
+    assert df.select("seq_id").distinct().count() == 2
+    n = df.count()
+    tot = sum(len(kmer_strings(parse_fasta(open(p).read())[1], K))
+              for p in (a, b))
+    assert n == tot
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="requires option 'k'"):
+        spark.read.format("fasta").option("path", a).load().count()
