@@ -125,6 +125,47 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def text_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """token_stats + quality_score + lang_id fused into ONE narrow
+    projection — one corpus scan, zero joins.  A doc_id join of the three
+    individual operators is logically identical (1:1 on a unique key of
+    the same relation) but Catalyst cannot prove it and would plan three
+    scans plus two corpus-wide shuffles; at 100 TB the fused form is the
+    only right plan.  Column values are expression-identical to the
+    individual operators (pytest-gated), with the shared subexpressions
+    (`ws`, `n_words`) computed once."""
+    ws = words(F.col(text_col))
+    n_words = F.size(ws).cast("long")
+    n_chars = F.length(F.col(text_col)).cast("long")
+    bpe = bpe_ish_tokens(F.col(text_col))
+    n_stop = _count_in(ws, EN_STOPWORDS).cast("long")
+    en, de, fr = (_count_in(ws, v)
+                  for v in (EN_STOPWORDS, DE_STOPWORDS, FR_STOPWORDS))
+    pred = (
+        F.when((en >= de) & (en >= fr) & (en > 0), F.lit("en"))
+        .when((de >= fr) & (de > 0), F.lit("de"))
+        .when(fr > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+    return docs.select(
+        F.col("doc_id"),
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars_m"),
+        F.floor((n_chars - n_words + 1) * 10000 / n_words).cast("long")
+        .alias("avg_word_len_x1e4"),
+        F.size(F.filter(bpe, lambda t: ~t.rlike(r"^\s+$"))).cast("long")
+        .alias("n_bpe_ish"),
+        n_stop.alias("n_stopwords"),
+        F.floor(n_stop * 10000 / n_words).cast("long")
+        .alias("stop_ratio_x1e4"),
+        (n_words >= 20).alias("len_ok"),
+        (n_stop > 0).alias("has_stopwords"),
+        F.col("lang"),
+        pred.alias("lang_pred"),
+        (pred == F.col("lang")).alias("lang_match"),
+    )
+
+
 def rolling_fingerprint(docs: DataFrame, text_col: str = "text",
                         mult: int = 31, mod: int = (1 << 31) - 1) -> DataFrame:
     """Polynomial rolling hash over word hash-codes (Horner form, modular)

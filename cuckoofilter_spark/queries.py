@@ -2855,11 +2855,12 @@ SQL_HEAVY_HITTERS = "\nUNION ALL\n".join([
 
 def q_text_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-free per-doc text analytics in one entry: token/char/BPE-ish
-    stats ⨝ quality ratios ⨝ language id on doc_id (`n_words` appears in
-    two sub-relations with the same value — kept once)."""
-    return (q_token_stats(spark, sf_dir)
-            .join(q_quality(spark, sf_dir).drop("n_words"), "doc_id")
-            .join(q_lang_id(spark, sf_dir), "doc_id"))
+    stats + quality ratios + language id, FUSED into one narrow projection
+    (operators/text.text_signals) — one corpus scan, zero joins; a doc_id
+    join of the three would plan three scans + two corpus-wide shuffles.
+    The oracle joins the three sub-oracles (DuckDB side, where the cost
+    doesn't matter)."""
+    return TX.text_signals(T(spark, sf_dir, "documents"))
 
 
 SQL_TEXT_SIGNALS = f"""
@@ -2872,10 +2873,32 @@ JOIN ({SQL_LANG_ID}) c ON a.doc_id = c.doc_id
 
 
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting in one entry: content md5 ⨝ rolling-hash
-    order-sensitivity/stability gates on doc_id."""
-    return (q_fingerprint(spark, sf_dir)
-            .join(q_rolling_fingerprint(spark, sf_dir), "doc_id"))
+    """Document fingerprinting in one entry, FUSED into one narrow
+    projection (one corpus scan, zero joins): the canonical content md5
+    (expression-identical to operators/text.fingerprint) alongside the
+    rolling-hash order-sensitivity / rejoin-stability gates
+    (expression-identical to q_rolling_fingerprint); a doc_id join of the
+    two would scan the corpus twice and shuffle it once."""
+    docs = T(spark, sf_dir, "documents")
+    mult, mod = 31, (1 << 31) - 1
+    ws = F.split(F.col("text"), " ")
+
+    def fp_of(arr):
+        codes = F.transform(arr, lambda w: F.pmod(F.xxhash64(w), F.lit(mod)))
+        return F.aggregate(codes, F.lit(0).cast("long"),
+                           lambda acc, c: F.pmod(acc * mult + c, F.lit(mod)))
+
+    fwd = fp_of(ws)
+    rev = fp_of(F.reverse(ws))
+    rejoined = fp_of(F.split(F.array_join(ws, " "), " "))
+    palindrome = ws == F.reverse(ws)
+    canon = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.md5(F.encode(canon, "UTF-8")).alias("fingerprint"),
+        (palindrome | (fwd != rev)).alias("order_sensitive"),
+        (fwd == rejoined).alias("rejoin_stable"),
+    )
 
 
 SQL_FINGERPRINTS = f"""

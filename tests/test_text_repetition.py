@@ -101,3 +101,60 @@ def test_pii_scrub_is_shuffle_free(spark):
     df = spark.createDataFrame([(1, "a@b.co")], "doc_id int, text string")
     plan = pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_text_signals_fused_equals_joined_and_shuffle_free(spark):
+    """operators/text.text_signals = token_stats ⨝ quality ⨝ lang_id value
+    for value, in ONE narrow projection: zero Exchange in the fused plan
+    (the join form would be three scans + two shuffles at corpus scale)."""
+    from cuckoofilter_spark.operators.text import (
+        lang_id,
+        quality_score,
+        text_signals,
+        token_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox is on the hill with a map of the town",
+          "en"),
+         (2, "der hund ist nicht mit der katze und das ist gut so ja nein "
+             "doch immer wieder der fall", "de"),
+         (3, "x y z w q r s t u v a1 b2 c3 d4 e5 f6 g7 h8 i9 j0", "und")],
+        "doc_id int, text string, lang string")
+    fused = {r["doc_id"]: r.asDict() for r in text_signals(df).collect()}
+    joined = {r["doc_id"]: r.asDict() for r in
+              token_stats(df)
+              .join(quality_score(df).drop("n_words"), "doc_id")
+              .join(lang_id(df), "doc_id").collect()}
+    assert fused == joined and len(fused) == 3
+    plan = text_signals(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_fingerprints_entry_fused_equals_joined_and_shuffle_free(spark, tmp_path):
+    """q_fingerprints (merged driver entry) = q_fingerprint ⨝
+    q_rolling_fingerprint value for value, with zero Exchange in the
+    fused plan."""
+    import os
+
+    from cuckoofilter_spark.queries import (
+        q_fingerprint,
+        q_fingerprints,
+        q_rolling_fingerprint,
+    )
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        [(1, "The quick  Brown fox", "en"), (2, "aba aba", "en"),
+         (3, "one two three four five", "en")],
+        "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    fused = {r["doc_id"]: r.asDict() for r in q_fingerprints(spark, sf).collect()}
+    joined = {r["doc_id"]: r.asDict() for r in
+              q_fingerprint(spark, sf)
+              .join(q_rolling_fingerprint(spark, sf), "doc_id").collect()}
+    assert fused == joined and len(fused) == 3
+    plan = (q_fingerprints(spark, sf)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Exchange" not in plan
