@@ -164,6 +164,21 @@ def run_one(pipeline: str, n_docs: int) -> dict:
         if pipeline == "minhash":
             t0, c0 = time.time(), _cpu_total(spark)
             n = D.minhash_near_dups(docs, tau_x1e4=TAU, n=3).count()
+        elif pipeline == "clean_lsh":
+            # the 100 TB composition: same quality → exact-dedup → near-dup
+            # pipeline with MinHash-LSH candidates in place of the
+            # verify-every-pair exact Jaccard (whose TRUE pair count grows
+            # superlinearly on a fixed vocab — see the plain `clean` row)
+            t0, c0 = time.time(), _cpu_total(spark)
+            q = TX.quality_score(docs).filter(
+                F.col("len_ok") & F.col("has_stopwords"))
+            kept = docs.join(q.select("doc_id"), "doc_id", "left_semi")
+            exact = D.exact_dedup(kept).select(
+                F.col("keep_id").alias("doc_id"))
+            kept = kept.join(exact, "doc_id", "left_semi")
+            dups = D.minhash_near_dups(kept, tau_x1e4=TAU, n=3).select(
+                F.col("d2").alias("doc_id")).distinct()
+            n = kept.join(dups, "doc_id", "left_anti").count()
         elif pipeline == "clean":
             t0, c0 = time.time(), _cpu_total(spark)
             q = TX.quality_score(docs).filter(
@@ -198,8 +213,11 @@ def run_isolated(pipeline: str, n_docs: int) -> dict:
 def main() -> None:
     result: dict = {"scale": SCALE, "runs": RUNS, "cpus": CPUS,
                     "pipelines": {}}
-    for pipeline, base in (("clean", BASE_DOCS), ("minhash", BASE_DOCS),
-                           ("tokens", TOK_BASE)):
+    names = (os.environ.get("SPARK_GRAFT_SOAK_PIPELINES",
+                            "clean,clean_lsh,minhash,tokens").split(","))
+    bases = {"clean": BASE_DOCS, "clean_lsh": BASE_DOCS,
+             "minhash": BASE_DOCS, "tokens": TOK_BASE}
+    for pipeline, base in ((n, bases[n]) for n in names):
         per = {}
         for mult in (1, SCALE):
             draws = [run_isolated(pipeline, base * mult)
