@@ -1240,13 +1240,19 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_i
 def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-data pipeline: quality gate → exact dedup →
     near-dup removal (drop the larger doc_id of every Jaccard ≥ 0.8 pair).
-    The composed pipeline stays exact, so the whole thing oracle-checks."""
+    Near-dup candidates come from the SCALE path — MinHash(64)+LSH(16×4)
+    with exact verification — not the verify-every-pair exact join, whose
+    TRUE pair count grows superlinearly on a bounded vocabulary (measured
+    n^1.44 at the 10× soak, vs n^0.45 for this composition,
+    SOAK_r4*.json).  Recall equality with the all-pairs relation is
+    itself driver-gated: `minhash_lsh`'s oracle IS the exact pair set, so
+    a recall miss would fail that entry before it could skew this one."""
     docs = _fan_out(T(spark, sf_dir, "documents"))
     q = TX.quality_score(docs).filter(F.col("len_ok") & F.col("has_stopwords"))
     kept = docs.join(q.select("doc_id"), "doc_id", "left_semi")
     exact = D.exact_dedup(kept).select(F.col("keep_id").alias("doc_id"))
     kept = kept.join(exact, "doc_id", "left_semi")
-    dups = D.jaccard_pairs_prefix(D.shingles(kept, 3), JACCARD_TAU).select(
+    dups = D.minhash_near_dups(kept, tau_x1e4=JACCARD_TAU, n=3).select(
         F.col("d2").alias("doc_id")).distinct()
     return (kept.join(dups, "doc_id", "left_anti")
             .select("doc_id", F.col("n_chars").cast("long").alias("n_chars")))
