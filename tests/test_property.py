@@ -156,3 +156,57 @@ def test_bloom_no_false_negatives_any_input(xs):
     b.update(arr(xs))
     if xs:
         assert b.contains(arr(xs)).all()
+
+
+# --- chunked FASTA scan: byte-range plan ≡ whole-file parse ----------------
+
+FASTA_LINES = st.lists(
+    st.text(alphabet="ACGTN", min_size=0, max_size=40), min_size=0,
+    max_size=25)
+
+
+@settings(max_examples=40, deadline=None)
+@given(junk=st.integers(min_value=0, max_value=2), ident=st.text(
+    alphabet="ab c.:0", min_size=0, max_size=12), lines=FASTA_LINES,
+    chunk_bytes=st.integers(min_value=1, max_value=64),
+    k=st.integers(min_value=1, max_value=8),
+    trailing_nl=st.booleans())
+def test_chunk_plan_reassembles_exact_kmer_stream(junk, ident, lines,
+                                                  chunk_bytes, k,
+                                                  trailing_nl):
+    """For ANY file shape (junk pre-header lines, ragged sequence lines,
+    any chunk size ≥ 1 byte, any k): concatenating each chunk's windows in
+    chunk order equals the whole-file parse's window list exactly —
+    order, count, and content (the invariant behind fasta_kmers_df /
+    build_fasta_filter / the fasta data source)."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from cuckoofilter_spark.sources.fasta import (
+        _chunk_seq_bytes,
+        kmer_strings,
+        parse_fasta,
+        plan_chunks,
+    )
+
+    body = ["junk line"] * junk + [">" + ident] + list(lines)
+    text = "\n".join(body) + ("\n" if trailing_nl else "")
+    fd, path = tempfile.mkstemp(suffix=".fna")
+    try:
+        with os.fdopen(fd, "w") as fh:
+            fh.write(text)
+        want_ident, seq = parse_fasta(text)
+        want = kmer_strings(seq, k)
+        got = []
+        for _, p, got_ident, start, end in plan_chunks([path], chunk_bytes):
+            assert got_ident == want_ident
+            own, look = _chunk_seq_bytes(p, start, end, k)
+            buf = np.concatenate([own, look]) if len(look) else own
+            s = buf.tobytes().decode()
+            got.extend(s[j:j + k] for j in range(len(own))
+                       if j + k <= len(s))
+        assert got == want
+    finally:
+        os.unlink(path)
