@@ -1751,14 +1751,16 @@ def q_fasta_kmers(spark: SparkSession, sf_dir: str) -> DataFrame:
     CHUNKED byte-range path (chunk_bytes=256 fans this 1.1 kB file into
     ~5 tasks — the same multi-task shape a 3 GB genome gets at the 16 MiB
     default), so the oracle gates chunk-boundary k-mer reassembly, not
-    just the whole-file parse."""
+    just the whole-file parse; the scan side goes through the registered
+    `spark.read.format("fasta")` Python Data Source (the FastaIterator
+    adapter, SURVEY §2 #30), giving the source its own driver row."""
     from cuckoofilter_spark.sources.fasta import (
         build_fasta_filter,
         cf_contains_kmer_udf,
-        fasta_kmers_df,
         parse_fasta,
         _read_text,
     )
+    from cuckoofilter_spark.sources.fasta_datasource import FastaDataSource
 
     _, seq = parse_fasta(_read_text(FASTA_PATH))
     n = max(1, len(seq) - FASTA_K + 1)
@@ -1766,7 +1768,10 @@ def q_fasta_kmers(spark: SparkSession, sf_dir: str) -> DataFrame:
     filt = build_fasta_filter(spark, [FASTA_PATH], FASTA_K, params,
                               dedup=False, chunk_bytes=256)
     contains = cf_contains_kmer_udf(spark, filt, FASTA_K)
-    kmers = (fasta_kmers_df(spark, [FASTA_PATH], FASTA_K, chunk_bytes=256)
+    spark.dataSource.register(FastaDataSource)
+    kmers = (spark.read.format("fasta")
+             .option("path", FASTA_PATH).option("k", FASTA_K)
+             .option("chunk_bytes", 256).load()
              .select("kmer").distinct())
     return kmers.filter(contains(F.col("kmer")))
 
