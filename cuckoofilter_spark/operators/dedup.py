@@ -40,21 +40,19 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 # -- shingles + exact n-gram Jaccard ----------------------------------------
 
-def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """Distinct word n-gram shingles per document: (doc_id, gram).
+def shingle_arrays(docs: DataFrame, n: int = 3,
+                   text_col: str = "text") -> DataFrame:
+    """(doc_id, grams: array<bigint>) — the in-row stage of `shingles`:
+    distinct 64-bit word-n-gram hashes per document, NOT yet exploded.
+    Keeping the per-doc gram set in-row lets per-doc reductions over it
+    (MinHash signatures, set sizes) run as narrow projections with ZERO
+    shuffle; only pair-finding genuinely needs the exploded form.
 
-    ``gram`` is the 64-bit ``xxhash64`` of the n-gram text, and the
-    per-document dedup happens NARROW: ``array_distinct`` inside the row
-    (doc_id is unique per row, so per-doc distinct ≡ the old global
-    ``.distinct()``), then explode.  Two scale effects: this stage is now
-    shuffle-FREE — the previous explode→distinct shuffled the entire
-    exploded corpus (at 100 TB, the single largest shuffle in the dedup
-    family) — and every downstream shuffle/join/aggregate moves 8-byte
-    longs instead of gram strings.  64-bit hashing of grams is
-    deterministic and collision-safe at corpus gram cardinalities
-    (~n²/2⁶⁵ merge probability), and all downstream semantics (Jaccard
-    counts, minhash mins, simhash bits) are hash-based anyway — the
-    oracle gate cross-checks the string-side computation end to end."""
+    64-bit hashing of grams is deterministic and collision-safe at corpus
+    gram cardinalities (~n²/2⁶⁵ merge probability), and all downstream
+    semantics (Jaccard counts, minhash mins, simhash bits) are hash-based
+    anyway — the oracle gate cross-checks the string-side computation end
+    to end."""
     # The split array MUST be materialized behind a projection boundary
     # before word_ngrams indexes into it: an inline `split(text)` is
     # re-evaluated by every `element_at(ws, i)` inside the transform
@@ -65,10 +63,19 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     ws = F.col("_ws")
     hashed = F.array_distinct(
         F.transform(word_ngrams(ws, n), lambda g: F.xxhash64(g)))
-    return (
-        pre.filter(F.size(ws) >= n)
-        .select("doc_id", F.explode(hashed).alias("gram"))
-    )
+    return pre.filter(F.size(ws) >= n).select("doc_id", hashed.alias("grams"))
+
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per document: (doc_id, gram) — the
+    exploded form of :func:`shingle_arrays`, still shuffle-FREE (the
+    per-doc dedup happens in-row; doc_id is unique per row, so per-doc
+    distinct ≡ the old global ``.distinct()``, which shuffled the entire
+    exploded corpus — at 100 TB the single largest shuffle in the dedup
+    family).  Every downstream shuffle/join/aggregate moves 8-byte longs
+    instead of gram strings."""
+    return shingle_arrays(docs, n, text_col).select(
+        "doc_id", F.explode("grams").alias("gram"))
 
 
 def jaccard_pairs(sh: DataFrame, tau_x1e4: int) -> DataFrame:
@@ -258,12 +265,35 @@ def verify_jaccard_pairs(sh: DataFrame, cand: DataFrame, tau_x1e4: int,
 # -- MinHash + LSH -----------------------------------------------------------
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = 64) -> DataFrame:
-    """k-component MinHash signature per doc in one shuffle:
-    h_i(gram) = xxhash64(gram, i); sig_i = min over grams.
-    Partial mins combine map-side, so shuffle volume is k·8 B/doc."""
+    """k-component MinHash signature per doc from an EXPLODED (doc_id,
+    gram) relation, in one shuffle: h_i(gram) = xxhash64(gram, i);
+    sig_i = min over grams.  Partial mins combine map-side, so shuffle
+    volume is k·8 B/doc.  When the gram sets are still in-row
+    (`shingle_arrays`), prefer :func:`minhash_signatures_inrow` — same
+    values, zero shuffle."""
     aggs = [F.min(F.xxhash64(F.col("gram"), F.lit(i))).alias(f"mh{i}")
             for i in range(num_hashes)]
     return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures_inrow(arrays: DataFrame,
+                             num_hashes: int = 64) -> DataFrame:
+    """SHUFFLE-FREE MinHash over (doc_id, grams array) rows:
+    sig_i = array_min(transform(grams, g → xxhash64(g, i))) — a narrow
+    projection, value-identical to `minhash_signatures` over the exploded
+    relation (same hash expression, min over the same distinct gram set;
+    pytest-gated), with zero Exchange where the grouped form pays an
+    explode + 64-column hash-aggregate round trip (measured ~8 s cpu →
+    ~1 s at sf0.1).  The transform lambda binds ELEMENTS, not an indexed
+    array, so the O(n²) codegen re-evaluation hazard does not apply."""
+    def mh(i: int):
+        # NB: the lambda must be unary — pyspark's `transform` inspects
+        # lambda arity and a second parameter would be bound to the array
+        # INDEX, silently replacing the hash seed
+        return F.array_min(F.transform(
+            F.col("grams"), lambda g: F.xxhash64(g, F.lit(i)))).alias(f"mh{i}")
+
+    return arrays.select("doc_id", *[mh(i) for i in range(num_hashes)])
 
 
 def lsh_candidate_pairs(sig: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:
@@ -294,21 +324,32 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = 16, rows: int = 4) -> DataF
 def minhash_near_dups(docs: DataFrame, tau_x1e4: int = 7000, n: int = 3,
                       num_hashes: int = 64, bands: int = 16, rows: int = 4,
                       text_col: str = "text",
-                      sh: DataFrame | None = None) -> DataFrame:
+                      sh: DataFrame | None = None,
+                      arrays: DataFrame | None = None) -> DataFrame:
     """MinHash LSH candidates, then EXACT Jaccard verification — output
     matches `jaccard_pairs` restricted to LSH-found candidates.  For
     τ = 1.0 (identical shingle sets) recall is exact: identical sets ⇒
     identical signatures ⇒ same buckets.
 
-    The shingle relation feeds three consumers (signatures, candidate
-    verification, sizes); cache it so the text is shingled once.  At
-    cluster scale this is a checkpoint/persist of the shingle table —
-    pass a pre-persisted ``sh`` to share it across operators."""
-    if sh is None:
-        sh = shingles(docs, n, text_col).persist()
-    cand = lsh_candidate_pairs(minhash_signatures(sh, num_hashes), bands, rows)
-    # exact verification only over candidates — never the all-pairs join
-    return verify_jaccard_pairs(sh, cand, tau_x1e4)
+    Default path: build the IN-ROW gram-array relation once (persisted),
+    so signatures and set sizes are shuffle-free narrow projections and
+    only pair-finding (bucket join + candidate verify) touches the
+    exploded form.  Pass a pre-persisted ``arrays``
+    (:func:`shingle_arrays`) to share the relation across operators, or a
+    pre-persisted exploded ``sh`` (e.g. the token-table path) for the
+    grouped-signature formulation — all three produce identical output."""
+    if sh is not None:
+        cand = lsh_candidate_pairs(minhash_signatures(sh, num_hashes),
+                                   bands, rows)
+        # exact verification only over candidates — never the all-pairs join
+        return verify_jaccard_pairs(sh, cand, tau_x1e4)
+    if arrays is None:
+        arrays = shingle_arrays(docs, n, text_col).persist()
+    sig = minhash_signatures_inrow(arrays, num_hashes)
+    sh_x = arrays.select("doc_id", F.explode("grams").alias("gram"))
+    sizes = arrays.select("doc_id", F.size("grams").cast("long").alias("n_sh"))
+    cand = lsh_candidate_pairs(sig, bands, rows)
+    return verify_jaccard_pairs(sh_x, cand, tau_x1e4, sizes=sizes)
 
 
 # -- SimHash ----------------------------------------------------------------

@@ -873,16 +873,25 @@ def _fan_out(df: DataFrame) -> DataFrame:
     return df
 
 
-def _shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+def _shingle_arrays(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """Cached per-doc gram-ARRAY relation — the one persisted artifact the
+    whole dedup family derives from: in-row consumers (MinHash signatures,
+    sizes) stay shuffle-free, and the exploded form is a cheap per-use
+    explode of the cache."""
     key = (sf_dir, n)
     hit = _SHINGLE_CACHE.get(key)
     if hit is None:
         from pyspark import StorageLevel
 
-        hit = D.shingles(_fan_out(T(spark, sf_dir, "documents")), n).persist(
-            StorageLevel.MEMORY_AND_DISK)
+        hit = D.shingle_arrays(_fan_out(T(spark, sf_dir, "documents")),
+                               n).persist(StorageLevel.MEMORY_AND_DISK)
         _SHINGLE_CACHE[key] = hit
     return hit
+
+
+def _shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    return _shingle_arrays(spark, sf_dir, n).select(
+        "doc_id", F.explode("grams").alias("gram"))
 
 
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -952,10 +961,11 @@ SQL_NGRAM_JACCARD = ("WITH " + _SQL_SHINGLES + ", " +
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH(16×4) candidates, exact-verified at τ=0.8.  The
     oracle is ALL exact pairs ≥ τ — equality also asserts LSH recall on
-    this corpus (deterministic: fixed xxhash64 seeds)."""
+    this corpus (deterministic: fixed xxhash64 seeds).  Signatures run the
+    in-row shuffle-free path over the shared gram-array cache."""
     return D.minhash_near_dups(T(spark, sf_dir, "documents"),
                                tau_x1e4=JACCARD_TAU,
-                               sh=_shingles(spark, sf_dir, 3))
+                               arrays=_shingle_arrays(spark, sf_dir, 3))
 
 
 SQL_MINHASH_LSH = SQL_NGRAM_JACCARD

@@ -54,6 +54,30 @@ def test_minhash_signatures_single_shuffle(spark, sf01_dir):
     assert count_exchanges(sig) == 1
 
 
+def test_minhash_signatures_inrow_zero_shuffle_and_value_identical(
+        spark, sf01_dir):
+    """The in-row signature path (array_min over the per-doc gram array)
+    is a narrow projection — ZERO exchanges — and value-identical to the
+    grouped formulation over the exploded relation."""
+    from cuckoofilter_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_signatures_inrow,
+        shingle_arrays,
+    )
+
+    docs = spark.read.parquet(f"{sf01_dir}/documents.parquet")
+    arrays = shingle_arrays(docs, 3)
+    inrow = minhash_signatures_inrow(arrays, num_hashes=16)
+    assert count_exchanges(inrow) == 0
+    grouped = minhash_signatures(
+        arrays.selectExpr("doc_id", "explode(grams) AS gram"), num_hashes=16)
+    a = {r["doc_id"]: tuple(r[f"mh{i}"] for i in range(16))
+         for r in inrow.collect()}
+    b = {r["doc_id"]: tuple(r[f"mh{i}"] for i in range(16))
+         for r in grouped.collect()}
+    assert a == b and len(a) > 400
+
+
 def test_topk_broadcasts_queries(spark, sf01_dir):
     """Corpus side must NOT shuffle for the top-k join — queries broadcast."""
     from cuckoofilter_spark.operators.similarity import cosine_topk
