@@ -472,22 +472,39 @@ def passage_dedup(docs: DataFrame, passage_words: int = 10,
 
 # -- token-sequence shingles (input_hint table) -------------------------------
 
-def token_shingles(df: DataFrame, n: int = 3, tokens_col: str = "tokens",
-                   id_col: str = "doc_id") -> DataFrame:
-    """Distinct token n-gram shingles per sequence: (doc_id, gram) over the
-    north-rule token table ``(doc_id, tokens:array<int32>, ...)`` — the
-    token-ID analog of :func:`shingles`, feeding the same MinHash / LSH /
-    verify machinery so near-dup detection runs directly on pre-tokenized
-    training sequences (no text detour).
+def token_shingle_arrays(df: DataFrame, n: int = 3,
+                         tokens_col: str = "tokens",
+                         id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, grams: array<bigint>) over the north-rule token table
+    ``(doc_id, tokens:array<int32>, ...)`` — the token-ID analog of
+    :func:`shingle_arrays`: distinct in-row token-n-gram hashes, not yet
+    exploded, so MinHash signatures and set sizes stay shuffle-free.
 
     ``gram`` is ``xxhash64(t_i, …, t_{i+n-1})`` computed in-row over a
     BOUND tokens column (see the quadratic re-evaluation hazard on
-    ``word_ngrams``), deduped narrow via ``array_distinct``, then exploded
-    — shuffle-free, and downstream joins move 8-byte longs."""
+    ``word_ngrams``), deduped narrow via ``array_distinct``."""
     pre = df.select(id_col, F.col(tokens_col).alias("_ts"))
     ts = F.col("_ts")
     idx = F.sequence(F.lit(1), F.size(ts) - (n - 1))
-    grams = F.array_distinct(F.transform(
+    raw = F.array_distinct(F.transform(
         idx, lambda i: F.xxhash64(*[F.element_at(ts, i + j) for j in range(n)])))
-    return (pre.filter(F.size(ts) >= n)
-            .select(id_col, F.explode(grams).alias("gram")))
+    # short-row guard MUST live inside the expression, not just in the
+    # relational filter below: InferFiltersFromGenerate copies
+    # size(grams) > 0 next to the size(ts) >= n conjunct when the array
+    # is later exploded, and codegen subexpression elimination evaluates
+    # it on UNFILTERED rows — where sequence(1, 0) DESCENDS to [1, 0]
+    # (not an empty range) and element_at walks out of bounds.  Same
+    # guard shape as text.word_ngrams.
+    grams = F.when(F.size(ts) >= n, raw).otherwise(
+        F.array().cast("array<bigint>"))
+    return pre.filter(F.size(ts) >= n).select(id_col, grams.alias("grams"))
+
+
+def token_shingles(df: DataFrame, n: int = 3, tokens_col: str = "tokens",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Exploded (doc_id, gram) form of :func:`token_shingle_arrays` —
+    feeds the same MinHash / LSH / verify machinery as text dedup so
+    near-dup detection runs directly on pre-tokenized training sequences
+    (no text detour); shuffle-free, downstream joins move 8-byte longs."""
+    return token_shingle_arrays(df, n, tokens_col, id_col).select(
+        id_col, F.explode("grams").alias("gram"))

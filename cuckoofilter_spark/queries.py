@@ -1859,8 +1859,10 @@ def q_tokens_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact; plan shape is the text-dedup family's — one signature shuffle of
     k·8 B/doc, uniform band-bucket self-join, verify restricted to
     candidates."""
-    from cuckoofilter_spark.operators.dedup import (minhash_near_dups,
-                                                    token_shingles)
+    from cuckoofilter_spark.operators.dedup import (
+        minhash_near_dups,
+        token_shingle_arrays,
+    )
     from cuckoofilter_spark.sources.tokens import VOCAB, synth_tokens_df
 
     base = synth_tokens_df(spark, TOKND_DOCS, seed=42, num_partitions=8)
@@ -1872,9 +1874,9 @@ def q_tokens_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     i % 37 == 0, (t + 1) % VOCAB).otherwise(t)).alias("tokens"),
                 "n_tok", "source"))
     corpus = base.unionByName(mutated)
-    sh = token_shingles(corpus, n=3).persist()
+    arrays = token_shingle_arrays(corpus, n=3).persist()
     try:
-        pairs = minhash_near_dups(corpus, tau_x1e4=7000, sh=sh)
+        pairs = minhash_near_dups(corpus, tau_x1e4=7000, arrays=arrays)
         # one aggregation pass computes every gate (planted pairs surface
         # canonically as d1="docXXXX" < d2="dupdocXXXX"); collected eagerly
         # so the shingle cache can be released before returning
@@ -1883,7 +1885,7 @@ def q_tokens_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("d2") == F.concat(F.lit("dup"), F.col("d1")),
                          1).otherwise(0)).alias("_nr")).collect()[0]
     finally:
-        sh.unpersist()
+        arrays.unpersist()
     n_planted = TOKND_DOCS // TOKND_EVERY
     n_recovered = int(row["_nr"] or 0)
     return _bool_row(

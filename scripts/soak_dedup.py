@@ -131,7 +131,7 @@ def run_one(pipeline: str, n_docs: int) -> dict:
                          "spark.ui.retainedStages": "20000"})
     try:
         if pipeline == "tokens":
-            from cuckoofilter_spark.operators.dedup import token_shingles
+            from cuckoofilter_spark.operators.dedup import token_shingle_arrays
             from cuckoofilter_spark.sources.tokens import (
                 VOCAB,
                 write_synth_tokens,
@@ -150,12 +150,12 @@ def run_one(pipeline: str, n_docs: int) -> dict:
                         .alias("tokens"), "n_tok", "source"))
             corpus = base.unionByName(mutated)
             t0, c0 = time.time(), _cpu_total(spark)
-            sh = token_shingles(corpus, n=3).persist()  # as q_tokens_neardup
+            arrays = token_shingle_arrays(corpus, n=3).persist()
             try:
                 n = D.minhash_near_dups(corpus, tau_x1e4=7000,
-                                        sh=sh).count()
+                                        arrays=arrays).count()
             finally:
-                sh.unpersist()
+                arrays.unpersist()
             return {"sec": time.time() - t0, "cpu": _cpu_total(spark) - c0,
                     "rows": n}
 
