@@ -373,6 +373,31 @@ def simhash(sh: DataFrame, nbits: int = 64) -> DataFrame:
     return per_bit.select("doc_id", sig.alias("simhash"))
 
 
+def simhash_inrow(arrays: DataFrame, nbits: int = 64) -> DataFrame:
+    """SHUFFLE-FREE SimHash over (doc_id, grams array) rows — value-
+    identical to :func:`simhash` over the exploded relation (pytest-
+    gated): per bit, sign of (ones − zeros) = 2·|{g : bit set}| − |grams|.
+    Each gram is re-hashed ONCE behind a projection boundary (`_hs`), then
+    the nbits sign tests are `size(filter(...))` passes over the bound
+    array — narrow projections, zero Exchange, no per-bit re-hashing."""
+    pre = arrays.select(
+        "doc_id", F.size("grams").alias("_n"),
+        F.transform("grams", lambda g: F.xxhash64(g)).alias("_hs"))
+    hs, n = F.col("_hs"), F.col("_n")
+
+    def bit(i: int):
+        ones = F.size(F.filter(
+            hs, lambda h: F.shiftrightunsigned(h, i)
+            .bitwiseAND(F.lit(1)) == 1))
+        return F.when(2 * ones - n > 0,
+                      F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
+
+    sig = F.lit(0).cast("long")
+    for i in range(nbits):
+        sig = sig.bitwiseOR(bit(i))
+    return pre.select("doc_id", sig.alias("simhash"))
+
+
 def simhash_candidates(sig: DataFrame, max_hamming: int = 3,
                        chunks: int = 4) -> DataFrame:
     """Near-dup candidates by Hamming distance: band the 64-bit simhash

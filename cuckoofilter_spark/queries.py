@@ -989,7 +989,7 @@ def q_simhash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
       (4×16-bit chunk banding must catch distance ≤ 3 exactly)."""
     # the signature relation feeds the candidate join, the pair re-check
     # and the brute-force audit — materialize it once
-    sig = D.simhash(_shingles(spark, sf_dir, 3)).persist()
+    sig = D.simhash_inrow(_shingle_arrays(spark, sf_dir, 3)).persist()
     cand = D.simhash_candidates(sig, max_hamming=3)
     cand = cand.persist()
     try:

@@ -139,3 +139,24 @@ def test_frame_sample_plan_prunes_payload(spark, sf_dir):
         assert "payload" not in cols, cols
         assert "n_frames" in cols
         assert frames.count() > 0
+
+
+def test_simhash_inrow_zero_shuffle_and_value_identical(spark, sf01_dir):
+    """simhash_inrow = simhash over the exploded relation, bit for bit,
+    with zero exchanges (grams hashed once behind a projection, nbits
+    sign tests as narrow array passes)."""
+    from cuckoofilter_spark.operators.dedup import (
+        shingle_arrays,
+        simhash,
+        simhash_inrow,
+    )
+
+    docs = spark.read.parquet(f"{sf01_dir}/documents.parquet")
+    arrays = shingle_arrays(docs, 3)
+    inrow = simhash_inrow(arrays)
+    assert count_exchanges(inrow) == 0
+    a = {r["doc_id"]: r["simhash"] for r in inrow.collect()}
+    b = {r["doc_id"]: r["simhash"] for r in
+         simhash(arrays.selectExpr("doc_id", "explode(grams) AS gram"))
+         .collect()}
+    assert a == b and len(a) > 400
