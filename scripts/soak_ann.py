@@ -46,14 +46,26 @@ TAU = 9000
 N_QUERIES = 100
 
 
+N_CENTERS = 32
+
+
 def _vec_of(i: int) -> np.ndarray:
+    """CLUSTERED geometry (center + noise, like real embeddings / the
+    testdata table's label structure): isotropic random unit vectors are
+    unclusterable — k-means degenerates, IVF probes everything, and the
+    soak would measure brute force, not IVF (measured 21 s vs 1.7 s cpu
+    at 2 000 vectors).  Same-cluster cosine ≈ 0.5, planted near-dup
+    cosine ≈ 0.97 ≥ τ."""
     if i % 20 == 19 and i > 0:
         base = _vec_of(i - 1)
         rng = np.random.default_rng(SEED * 31 + i)
-        v = base + 0.05 * rng.standard_normal(DIM)
+        v = base + 0.02 * rng.standard_normal(DIM)
     else:
+        crng = np.random.default_rng(1000 + (i % N_CENTERS))
+        c = crng.standard_normal(DIM)
+        c /= np.linalg.norm(c)
         rng = np.random.default_rng((SEED << 20) ^ i)
-        v = rng.standard_normal(DIM)
+        v = c + 0.12 * rng.standard_normal(DIM)
     return (v / np.linalg.norm(v)).astype(np.float32)
 
 

@@ -147,3 +147,27 @@ def test_canonical_pair_score_is_shape_independent():
     for k in range(0, 63, 7):
         solo = _canon_cos_x1e4(M[i[k:k + 1]], M[j[k:k + 1]])
         assert solo[0] == batch[k]
+
+
+def test_cos_udf_bit_identical_to_expression_fold(spark, emb):
+    """cos_x1e4_udf = floor(cosine(a,b)*1e4) value for value on real
+    embeddings — the NumPy kernel accumulates dims sequentially exactly
+    like the Catalyst fold, so floor-boundary values cannot diverge."""
+    from cuckoofilter_spark.operators.similarity import cos_x1e4_udf, cosine
+
+    q = (emb.filter(F.col("vec_id") < 50)
+         .select(F.col("vec_id").alias("q_id"),
+                 F.col("embedding").alias("q_vec")))
+    c = emb.select(F.col("vec_id").alias("nbr_id"),
+                   F.col("embedding").alias("n_vec"))
+    pairs = c.join(F.broadcast(q), F.col("nbr_id") != F.col("q_id"))
+    score = cos_x1e4_udf()
+    both = pairs.select(
+        "q_id", "nbr_id",
+        score(F.col("q_vec"), F.col("n_vec")).alias("udf"),
+        F.floor(cosine(F.col("q_vec"), F.col("n_vec")) * 10000)
+        .cast("long").alias("expr"))
+    n_diff = both.filter(F.col("udf") != F.col("expr")).count()
+    assert n_diff == 0
+    n_corpus = emb.count()
+    assert both.count() == 50 * n_corpus - 50
