@@ -158,3 +158,31 @@ def test_fingerprints_entry_fused_equals_joined_and_shuffle_free(spark, tmp_path
     plan = (q_fingerprints(spark, sf)._jdf.queryExecution()
             .executedPlan().toString())
     assert "Exchange" not in plan
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("qname", ["token_stats", "quality", "lang_id"])
+def test_unmerged_text_building_blocks_match_their_oracles(spark, qname):
+    """The unmerged q_token_stats / q_quality / q_lang_id (carried by the
+    text_signals driver entry) stay oracle-true standalone — a mini
+    check_oracle over each building block at sf0.001."""
+    import duckdb
+
+    from cuckoofilter_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    fn = {"token_stats": Q.q_token_stats, "quality": Q.q_quality,
+          "lang_id": Q.q_lang_id}[qname]
+    sql = {"token_stats": Q.SQL_TOKEN_STATS, "quality": Q.SQL_QUALITY,
+           "lang_id": Q.SQL_LANG_ID}[qname]
+    df = fn(spark, sf)
+    srows = {tuple(str(v) for v in r) for r in
+             df.select(*sorted(df.columns)).collect()}
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    rel = con.sql(sql)
+    order = sorted(range(len(rel.columns)), key=lambda i: rel.columns[i])
+    orows = {tuple(str(r[i]) for i in order) for r in rel.fetchall()}
+    assert srows == orows and len(srows) > 50
