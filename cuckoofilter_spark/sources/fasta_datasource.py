@@ -59,6 +59,8 @@ class FastaChunkReader(DataSourceReader):
         self.paths = [p for p in str(path).split(",") if p]
         self.k = int(options["k"])
         self.chunk_bytes = int(options.get("chunk_bytes", 16 << 20))
+        self.batch_windows = int(options.get("batch_windows",
+                                             self.BATCH_WINDOWS))
         if self.k < 1:
             raise ValueError(f"k must be >= 1, got {self.k}")
 
@@ -67,6 +69,11 @@ class FastaChunkReader(DataSourceReader):
 
         return [FastaChunk(*c)
                 for c in plan_chunks(sorted(self.paths), self.chunk_bytes)]
+
+    #: windows per emitted Arrow batch — a 16 MiB chunk holds ~16M windows,
+    #: and one batch of 16M k-mer strings would be hundreds of MB of Arrow
+    #: memory per task; slice the emission instead
+    BATCH_WINDOWS = 65536
 
     def read(self, partition: FastaChunk):
         import numpy as np
@@ -81,8 +88,12 @@ class FastaChunkReader(DataSourceReader):
         if w <= 0:
             return
         text = buf.tobytes().decode("utf-8", errors="replace")
-        yield pa.record_batch({
-            "seq_id": pa.array([partition.ident] * w, pa.string()),
-            "kmer": pa.array([text[j:j + self.k] for j in range(w)],
-                             pa.string()),
-        })
+        k = self.k
+        for lo in range(0, w, self.batch_windows):
+            hi = min(lo + self.batch_windows, w)
+            yield pa.record_batch({
+                "seq_id": pa.array([partition.ident] * (hi - lo),
+                                   pa.string()),
+                "kmer": pa.array([text[j:j + k] for j in range(lo, hi)],
+                                 pa.string()),
+            })

@@ -259,3 +259,23 @@ def test_fasta_datasource_multi_file_and_validation(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(Exception, match="requires option 'k'"):
         spark.read.format("fasta").option("path", a).load().count()
+
+
+def test_fasta_datasource_batch_slicing_preserves_stream(spark, tmp_path):
+    """Sliced Arrow emission (batch_windows option, default 64k) changes
+    batch boundaries only — the k-mer multiset is identical to the
+    one-batch read."""
+    from collections import Counter
+
+    from cuckoofilter_spark.sources.fasta_datasource import FastaDataSource
+
+    spark.dataSource.register(FastaDataSource)
+    fna = _synth_fna(tmp_path / "slice.fna", n_bytes=4000)
+
+    def stream(**opts):
+        r = spark.read.format("fasta").option("path", fna).option("k", K)
+        for k_, v in opts.items():
+            r = r.option(k_, v)
+        return Counter(x["kmer"] for x in r.load().collect())
+
+    assert stream(batch_windows=97) == stream() and sum(stream().values()) > 3000
