@@ -331,12 +331,16 @@ def minhash_near_dups(docs: DataFrame, tau_x1e4: int = 7000, n: int = 3,
     τ = 1.0 (identical shingle sets) recall is exact: identical sets ⇒
     identical signatures ⇒ same buckets.
 
-    Default path: build the IN-ROW gram-array relation once (persisted),
-    so signatures and set sizes are shuffle-free narrow projections and
-    only pair-finding (bucket join + candidate verify) touches the
-    exploded form.  Pass a pre-persisted ``arrays``
-    (:func:`shingle_arrays`) to share the relation across operators, or a
-    pre-persisted exploded ``sh`` (e.g. the token-table path) for the
+    Default path: build the IN-ROW gram-array relation, so signatures and
+    set sizes are shuffle-free narrow projections and only pair-finding
+    (bucket join + candidate verify) touches the exploded form.  The
+    relation is NOT persisted here (a lazy operator can never unpersist,
+    so an internal persist would leak a session-lifetime cached subtree
+    per invocation — ADVICE r4); the plan references it 3× (signatures,
+    explode, sizes), so callers running this more than once or caring
+    about the 3× narrow-map recompute should pass a pre-persisted
+    ``arrays`` (:func:`shingle_arrays`) and own its unpersist.  A
+    pre-persisted exploded ``sh`` (e.g. the token-table path) selects the
     grouped-signature formulation — all three produce identical output."""
     if sh is not None:
         cand = lsh_candidate_pairs(minhash_signatures(sh, num_hashes),
@@ -344,7 +348,7 @@ def minhash_near_dups(docs: DataFrame, tau_x1e4: int = 7000, n: int = 3,
         # exact verification only over candidates — never the all-pairs join
         return verify_jaccard_pairs(sh, cand, tau_x1e4)
     if arrays is None:
-        arrays = shingle_arrays(docs, n, text_col).persist()
+        arrays = shingle_arrays(docs, n, text_col)
     sig = minhash_signatures_inrow(arrays, num_hashes)
     sh_x = arrays.select("doc_id", F.explode("grams").alias("gram"))
     sizes = arrays.select("doc_id", F.size("grams").cast("long").alias("n_sh"))

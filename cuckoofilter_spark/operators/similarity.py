@@ -57,25 +57,48 @@ def cos_x1e4_udf():
     both squared norms), so the NumPy side accumulates the same way —
     vectorized ACROSS rows, one axis step at a time over the dims — giving
     the identical IEEE operation sequence per row.  (np.einsum/np.dot are
-    NOT used here: their accumulation order is shape-dependent.)"""
+    NOT used here: their accumulation order is shape-dependent.)
+
+    Degenerate inputs have DEFINED semantics (pytest-gated in
+    test_similarity_scale.py): NULL / ragged pair → NULL (matching the
+    fold's NULL propagation) and zero-norm / NaN-bearing pair → NULL
+    (cosine undefined; the ANSI expression path would raise
+    DIVIDE_BY_ZERO) — instead of np.stack crashes or the
+    platform-defined int64 of np.floor(nan).astype."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
     def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
-        if not len(a):
-            return pd.Series([], dtype="int64")
-        A = np.stack([np.asarray(v, dtype=np.float64) for v in a])
-        B = np.stack([np.asarray(v, dtype=np.float64) for v in b])
-        n = len(A)
-        dot_ = np.zeros(n)
-        na = np.zeros(n)
-        nb = np.zeros(n)
-        for j in range(A.shape[1]):  # sequential over dims = the fold order
-            dot_ += A[:, j] * B[:, j]
-            na += A[:, j] * A[:, j]
-            nb += B[:, j] * B[:, j]
-        return pd.Series(np.floor(
-            dot_ / (np.sqrt(na) * np.sqrt(nb)) * 10000).astype(np.int64))
+        n_rows = len(a)
+        if not n_rows:
+            return pd.Series([], dtype="Int64")
+        out = np.full(n_rows, np.nan)  # NaN slots become NULL below
+        av = [np.asarray(v, dtype=np.float64) if v is not None else None
+              for v in a]
+        bv = [np.asarray(v, dtype=np.float64) if v is not None else None
+              for v in b]
+        idx = [i for i in range(n_rows)
+               if av[i] is not None and bv[i] is not None
+               and len(av[i]) == len(bv[i])]
+        if idx:
+            A = np.stack([av[i] for i in idx])
+            B = np.stack([bv[i] for i in idx])
+            m = len(idx)
+            dot_ = np.zeros(m)
+            na = np.zeros(m)
+            nb = np.zeros(m)
+            for j in range(A.shape[1]):  # sequential over dims = fold order
+                dot_ += A[:, j] * B[:, j]
+                na += A[:, j] * A[:, j]
+                nb += B[:, j] * B[:, j]
+            denom = np.sqrt(na) * np.sqrt(nb)
+            ok = denom > 0  # zero-norm (or NaN denom) → NULL below
+            res = np.full(m, np.nan)
+            res[ok] = np.floor(dot_[ok] / denom[ok] * 10000)
+            out[idx] = res
+        vals = pd.array([None if v != v else int(v) for v in out],
+                        dtype="Int64")
+        return pd.Series(vals)
 
     return _cos
 

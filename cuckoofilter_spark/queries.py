@@ -958,14 +958,26 @@ SQL_NGRAM_JACCARD = ("WITH " + _SQL_SHINGLES + ", " +
                      _SQL_JACCARD_BODY.format(tau=JACCARD_TAU))
 
 
+def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached MinHash-LSH verified pair relation (tiny — verified pairs
+    ≥ τ): consumed by minhash_lsh AND the transitive clustering query."""
+    key = (sf_dir, JACCARD_TAU, "lsh")
+    hit = _PAIRS_CACHE.get(key)
+    if hit is None:
+        hit = D.minhash_near_dups(T(spark, sf_dir, "documents"),
+                                  tau_x1e4=JACCARD_TAU,
+                                  arrays=_shingle_arrays(spark, sf_dir, 3)
+                                  ).persist()
+        _PAIRS_CACHE[key] = hit
+    return hit
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH(16×4) candidates, exact-verified at τ=0.8.  The
     oracle is ALL exact pairs ≥ τ — equality also asserts LSH recall on
     this corpus (deterministic: fixed xxhash64 seeds).  Signatures run the
     in-row shuffle-free path over the shared gram-array cache."""
-    return D.minhash_near_dups(T(spark, sf_dir, "documents"),
-                               tau_x1e4=JACCARD_TAU,
-                               arrays=_shingle_arrays(spark, sf_dir, 3))
+    return _lsh_pairs(spark, sf_dir)
 
 
 SQL_MINHASH_LSH = SQL_NGRAM_JACCARD
@@ -1033,14 +1045,21 @@ SELECT CAST(TRUE AS BOOLEAN) AS pairs_canonical,
 
 
 def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive dedup: connected components over the exact Jaccard ≥ τ
-    pair set (iterative min-label propagation,
+    """Transitive dedup: connected components over the Jaccard ≥ τ pair
+    set (iterative min-label propagation + pointer jumping,
     operators/components.py) — each clustered doc labeled with its
-    component's minimum id and the keep/drop decision.  Exact: the oracle
-    recomputes the same pairs and closes them with a recursive CTE."""
+    component's minimum id and the keep/drop decision.
+
+    The pair relation is the SCALE path — MinHash-LSH candidates with
+    exact verification (`_lsh_pairs`) — not the verify-every-pair PPJoin,
+    whose TRUE pair count grows superlinearly on bounded vocab (n^1.44 at
+    the 10× soak; VERDICT r4 #1).  Still exact vs the recursive-CTE
+    oracle over ALL exact pairs: the `minhash_lsh` entry's oracle IS the
+    exact pair set, so pair-set equality (LSH recall) is already
+    driver-gated before this entry runs."""
     from cuckoofilter_spark.operators.components import cluster_representatives
 
-    pairs = _jaccard_pairs(spark, sf_dir)
+    pairs = _lsh_pairs(spark, sf_dir)
     return cluster_representatives(pairs.select("d1", "d2")).select(
         F.col("node").cast("long").alias("node"),
         F.col("comp").cast("long").alias("comp"),
@@ -1262,7 +1281,18 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = docs.join(q.select("doc_id"), "doc_id", "left_semi")
     exact = D.exact_dedup(kept).select(F.col("keep_id").alias("doc_id"))
     kept = kept.join(exact, "doc_id", "left_semi")
-    dups = D.minhash_near_dups(kept, tau_x1e4=JACCARD_TAU, n=3).select(
+    # pre-persisted gram arrays, cached per sf_dir like _SHINGLE_CACHE
+    # (minhash_near_dups no longer persists internally — ADVICE r4): one
+    # bounded cache entry per sf instead of a leaked subtree per call.
+    key = (sf_dir, 3, "clean_corpus")
+    arrays = _SHINGLE_CACHE.get(key)
+    if arrays is None:
+        from pyspark import StorageLevel
+
+        arrays = D.shingle_arrays(kept, 3).persist(StorageLevel.MEMORY_AND_DISK)
+        _SHINGLE_CACHE[key] = arrays
+    dups = D.minhash_near_dups(kept, tau_x1e4=JACCARD_TAU, n=3,
+                               arrays=arrays).select(
         F.col("d2").alias("doc_id")).distinct()
     return (kept.join(dups, "doc_id", "left_anti")
             .select("doc_id", F.col("n_chars").cast("long").alias("n_chars")))
@@ -2769,8 +2799,12 @@ def _melt(name: str, df: DataFrame, keys: tuple[str, ...] = ()) -> DataFrame:
     for c in df.columns:
         if c in keys:
             continue
+        # NULL keys: coalesce to '' on BOTH sides (concat_ws would silently
+        # SKIP a NULL segment while DuckDB's || propagates NULL — see
+        # _melt_sql's COALESCE twin) so a nullable key can't hash-mismatch.
         metric = F.concat_ws(
-            ".", F.lit(name), *[F.col(k).cast("string") for k in keys],
+            ".", F.lit(name),
+            *[F.coalesce(F.col(k).cast("string"), F.lit("")) for k in keys],
             F.lit(c))
         part = df.select(metric.alias("metric"),
                          F.col(c).cast("string").alias("val"))
@@ -2781,7 +2815,8 @@ def _melt(name: str, df: DataFrame, keys: tuple[str, ...] = ()) -> DataFrame:
 def _melt_sql(name: str, sql: str, cols: list[str],
               keys: tuple[str, ...] = ()) -> str:
     """DuckDB twin of ``_melt`` over an oracle statement."""
-    key_expr = " || '.' || ".join(f"CAST({k} AS VARCHAR)" for k in keys)
+    key_expr = " || '.' || ".join(
+        f"COALESCE(CAST({k} AS VARCHAR), '')" for k in keys)
     parts = []
     for c in cols:
         if c in keys:

@@ -146,10 +146,11 @@ def plan_chunks(paths: list[str],
     return out
 
 
-def _chunk_seq_bytes(path: str, start: int, end: int, k: int,
-                     read_block: int = 1 << 20) -> tuple[np.ndarray, np.ndarray]:
+def _chunk_seq_bytes(path: str, start: int, end: int,
+                     k: int) -> tuple[np.ndarray, np.ndarray]:
     """(chunk's own sequence bytes, k-1 lookahead sequence bytes) — newline
-    bytes stripped; the lookahead keeps reading past ``end`` until k-1
+    bytes stripped; the own range is one bounded read (≤ CHUNK_BYTES, sized
+    by the planner), the lookahead keeps reading past ``end`` until k-1
     sequence bytes are gathered or EOF."""
     with _open_stream(path) as fh:
         fh.seek(start)

@@ -163,7 +163,12 @@ def run_one(pipeline: str, n_docs: int) -> dict:
         docs.count()  # warm: python workers + scan
         if pipeline == "minhash":
             t0, c0 = time.time(), _cpu_total(spark)
-            n = D.minhash_near_dups(docs, tau_x1e4=TAU, n=3).count()
+            arr = D.shingle_arrays(docs, 3).persist()
+            try:
+                n = D.minhash_near_dups(docs, tau_x1e4=TAU, n=3,
+                                        arrays=arr).count()
+            finally:
+                arr.unpersist()
         elif pipeline == "clean_lsh":
             # the 100 TB composition: same quality → exact-dedup → near-dup
             # pipeline with MinHash-LSH candidates in place of the
@@ -176,9 +181,14 @@ def run_one(pipeline: str, n_docs: int) -> dict:
             exact = D.exact_dedup(kept).select(
                 F.col("keep_id").alias("doc_id"))
             kept = kept.join(exact, "doc_id", "left_semi")
-            dups = D.minhash_near_dups(kept, tau_x1e4=TAU, n=3).select(
-                F.col("d2").alias("doc_id")).distinct()
-            n = kept.join(dups, "doc_id", "left_anti").count()
+            arr = D.shingle_arrays(kept, 3).persist()
+            try:
+                dups = D.minhash_near_dups(kept, tau_x1e4=TAU, n=3,
+                                           arrays=arr).select(
+                    F.col("d2").alias("doc_id")).distinct()
+                n = kept.join(dups, "doc_id", "left_anti").count()
+            finally:
+                arr.unpersist()
         elif pipeline == "clean":
             t0, c0 = time.time(), _cpu_total(spark)
             q = TX.quality_score(docs).filter(

@@ -37,3 +37,23 @@ def test_oracle_sql_strings_are_single_statements():
     for name, sql in E.oracle_sql().items():
         assert ";" not in sql, f"{name}: multi-statement oracle"
         assert sql.strip(), f"{name}: empty oracle"
+
+
+def test_no_float_columns_in_query_outputs(spark, sf_dir):
+    """Melt-merged entries hash Spark CAST(x AS STRING) against DuckDB
+    CAST(x AS VARCHAR) — safe for BIGINT/BOOLEAN/VARCHAR but NOT for
+    floating point, whose string forms diverge between engines.  The
+    repo-wide float ban (QUERIES.md) held by discipline until now; this
+    makes it a gate (VERDICT r4 #3).  Integer-scale any ratio instead
+    (floor(1e4·x) — CLAUDE.md)."""
+    banned = ("float", "double", "decimal")
+    offenders = []
+    for name, fn in E.queries().items():
+        df = fn(spark, sf_dir)
+        for f in df.schema.fields:
+            t = f.dataType.simpleString()
+            if any(b in t for b in banned):
+                offenders.append(f"{name}.{f.name}: {t}")
+    assert offenders == [], (
+        "float/double/decimal column(s) in queries() outputs — these "
+        f"hash-mismatch (or silently lossy-cast) in melted entries: {offenders}")

@@ -171,3 +171,40 @@ def test_cos_udf_bit_identical_to_expression_fold(spark, emb):
     assert n_diff == 0
     n_corpus = emb.count()
     assert both.count() == 50 * n_corpus - 50
+
+
+def test_cos_udf_degenerate_inputs_defined(spark):
+    """NULL / ragged / zero-norm / NaN pairs → NULL (ADVICE r4): the
+    expression fold NULL-propagates for missing/ragged arrays and RAISES
+    (ANSI DIVIDE_BY_ZERO) for zero norms — the UDF must neither crash in
+    np.stack nor emit np.floor(nan).astype's platform-defined int64, and
+    well-formed rows in the same batch must stay expression-identical."""
+    from cuckoofilter_spark.operators.similarity import cos_x1e4_udf, cosine
+
+    rows = [
+        ("ok", [1.0, 2.0, 3.0], [1.0, 2.0, 3.0]),
+        ("anti", [1.0, 0.0, 0.0], [-1.0, 0.0, 0.0]),
+        ("null_a", None, [1.0, 2.0, 3.0]),
+        ("null_b", [1.0, 2.0, 3.0], None),
+        ("ragged", [1.0, 2.0], [1.0, 2.0, 3.0]),
+        ("zero_a", [0.0, 0.0, 0.0], [1.0, 2.0, 3.0]),
+        ("zero_both", [0.0, 0.0, 0.0], [0.0, 0.0, 0.0]),
+        ("nan_a", [float("nan"), 1.0, 2.0], [1.0, 2.0, 3.0]),
+    ]
+    df = spark.createDataFrame(rows, "tag string, a array<double>, b array<double>")
+    score = cos_x1e4_udf()
+    got = {r["tag"]: r["udf"]
+           for r in df.select(
+               "tag", score(F.col("a"), F.col("b")).alias("udf")).collect()}
+    assert got["ok"] == 10000
+    assert got["anti"] == -10000
+    for tag in ("null_a", "null_b", "ragged", "zero_a", "zero_both", "nan_a"):
+        assert got[tag] is None, tag
+    # well-formed rows still match the expression fold even when batched
+    # alongside degenerate ones
+    wf = df.filter(F.col("tag").isin("ok", "anti"))
+    both = wf.select(
+        score(F.col("a"), F.col("b")).alias("udf"),
+        F.floor(cosine(F.col("a"), F.col("b")) * 10000)
+        .cast("long").alias("expr"))
+    assert both.filter(F.col("udf") != F.col("expr")).count() == 0
