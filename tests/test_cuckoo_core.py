@@ -350,3 +350,60 @@ def test_murmur3_string_backend_matches_reference_wiring():
     assert out[0] == out[1]
     assert out[0] == int.from_bytes(murmur3_x86_128(b"abc", 5)[:8], "little")
     assert out.dtype == np.uint64 and len(set(out.tolist())) == 3
+
+
+# (length, CityHash64) vectors produced by compiling the vendored public
+# CityHash v1.1 source (/root/reference/Utils/city_hash.cpp, MIT) with a
+# 28-input harness; byte inputs are the deterministic corpus
+# bytes((i*131+17) & 0xff for i in range(length)).  Every length-class
+# branch is covered: 0, 1-3, 4-7, 8-16, 17-32, 33-64, and >64 including
+# multi-block (128/200/255/1000 exercise the 64-byte rolling-state loop).
+_CITY_LEN_VECTORS = [
+    (2, 16479644212507597872), (3, 8156813543280962808),
+    (4, 9576656824710289082), (7, 16634063680387903364),
+    (8, 1668742482406966573), (9, 6435977205899572716),
+    (15, 7539679315945763698), (16, 14559320776956635179),
+    (17, 7327678621829093979), (24, 5405474936806680719),
+    (31, 2309315602388385704), (32, 6526961488314481880),
+    (33, 11176955690067334164), (47, 6542505268235149357),
+    (48, 14117006617646811768), (63, 8478130400770890322),
+    (64, 10750527045920974587), (65, 1398270373454049446),
+    (100, 16503601989387789186), (128, 12464048544463885051),
+    (200, 5500651696199201100), (255, 8791588091735925053),
+    (1000, 10608802493083015753),
+]
+
+_CITY_STR_VECTORS = [
+    (b"", 11160318154034397263),  # == k2, the documented len-0 value
+    (b"a", 12917804110809363939),
+    (b"hello", 13009744463427800296),
+    (b"hello, world", 855043215758678039),
+    (b"The quick brown fox jumps over the lazy dog", 14008572299481893501),
+]
+
+
+def test_cityhash64_bit_parity_with_reference():
+    """The CityHash64 parity backend is bit-exact vs the reference's live
+    string-hash path (Utils/hash_function.cpp:64-68 -> city_hash.cpp:365):
+    28 vectors from compiling the vendored public source, one per
+    length-class branch plus multi-block strings."""
+    from cuckoofilter_spark.hashing import cityhash64
+
+    for s, exp in _CITY_STR_VECTORS:
+        assert cityhash64(s) == exp, f"string input {s!r}"
+    for n, exp in _CITY_LEN_VECTORS:
+        data = bytes((i * 131 + 17) & 0xFF for i in range(n))
+        assert cityhash64(data) == exp, f"length {n}"
+
+
+def test_cityhash64_string_backend_matches_reference_wiring():
+    """hash64_bytes_city = the reference's live call shape:
+    CityHash64(key.c_str(), key.size()) as uint64; str and bytes agree."""
+    import numpy as np
+
+    from cuckoofilter_spark.hashing import cityhash64, hash64_bytes_city
+
+    out = hash64_bytes_city(["abc", b"abc", "", "cuckoo filter"])
+    assert out[0] == out[1] == cityhash64(b"abc")
+    assert out[2] == 0x9AE16A3B2F90404F  # k2
+    assert out.dtype == np.uint64 and len(set(out.tolist())) == 3

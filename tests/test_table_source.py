@@ -59,3 +59,22 @@ def test_iceberg_membership_end_to_end(spark, sf_dir, tmp_path):
     probes = tbl.select(F.col("o_custkey").alias("k")).distinct()
     n = membership_df(spark, filt, probes, "k").count()
     assert n == probes.count()  # no false negatives through the iceberg scan
+
+    # checkpointed build resumes over the snapshot-consistent iceberg scan:
+    # interrupt after 3 shards, resume, and the merged filter must agree
+    from cuckoofilter_spark.operators.checkpointed_build import (
+        CheckpointedBuild,
+    )
+
+    params = CuckooParams(max_table_size=65536)
+    cb = CheckpointedBuild(spark, str(tmp_path / "ckpt"), params,
+                           "o_custkey", n_shards=8)
+    m1 = cb.run(tbl, max_shards=3)
+    assert m1["shards_built"] == 3
+    m2 = cb.run(tbl)
+    assert m2["shards_skipped"] == 3
+    resumed = cb.finalize()
+    keys = [r[0] for r in probes.limit(500).collect()]
+    import numpy as np
+
+    assert resumed.contains(np.asarray(keys, dtype=np.int64)).all()
