@@ -196,10 +196,16 @@ def run_queries_once() -> dict[str, dict[str, float]]:
     spark = get_spark("bench-queries", master=f"local[{CPUS}]",
                       **{"spark.ui.enabled": "true",
                          "spark.ui.retainedStages": "20000"})
-    # warm the session (scan + python workers + broadcast machinery) so the
-    # alphabetically-first query isn't charged the cold start
+    # warm the session (scan + python workers + broadcast machinery +
+    # python-data-source runtime) so the alphabetically-first query — and
+    # the one DS consumer, fasta_kmers — isn't charged the cold start
+    from cuckoofilter_spark.sources.fasta_datasource import (
+        prewarm_python_datasource,
+    )
+
     spark.read.parquet(f"{SF_DIR}/part.parquet").count()
     QUERIES["quantile_sketches"](spark, SF_DIR).count()
+    prewarm_python_datasource(spark)
     qtimes: dict[str, float] = {}
     qcpu: dict[str, float] = {}
     cpu0 = _cpu_time_total(spark)
