@@ -3056,15 +3056,30 @@ def q_streaming_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The batch-equivalence gates of the four streaming operators in one
     entry: stateful per-key HLL, watermarked windowed NDV, bounded-state
     cuckoo dedup, and space-saving top-k — each micro-batch fixture runs
-    unchanged."""
-    return (_melt("ndv", q_streaming_ndv(spark, sf_dir),
-                  keys=("event_type",))
-            .unionAll(_melt("windowed",
-                            q_streaming_windowed_ndv(spark, sf_dir),
-                            keys=("window_start_epoch",)))
-            .unionAll(_melt("dedup", q_streaming_dedup(spark, sf_dir)))
-            .unionAll(_melt("topk", q_streaming_topk_words(spark, sf_dir),
-                            keys=("w",))))
+    unchanged, and the four streams run CONCURRENTLY (streaming queries
+    are async by design; serializing availableNow fixtures just sums
+    their stream-startup constants — wall is max, not sum, of the four).
+    The session tz is pinned UTC around all four (not inside the windowed
+    fixture) so the per-thread conf guard can't race."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    tz_key = "spark.sql.session.timeZone"
+    old_tz = spark.conf.get(tz_key)
+    spark.conf.set(tz_key, "UTC")
+    try:
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            f_ndv = ex.submit(q_streaming_ndv, spark, sf_dir)
+            f_win = ex.submit(_windowed_ndv_utc, spark, sf_dir)
+            f_dedup = ex.submit(q_streaming_dedup, spark, sf_dir)
+            f_topk = ex.submit(q_streaming_topk_words, spark, sf_dir)
+            ndv, win = f_ndv.result(), f_win.result()
+            dedup, topk = f_dedup.result(), f_topk.result()
+    finally:
+        spark.conf.set(tz_key, old_tz)
+    return (_melt("ndv", ndv, keys=("event_type",))
+            .unionAll(_melt("windowed", win, keys=("window_start_epoch",)))
+            .unionAll(_melt("dedup", dedup))
+            .unionAll(_melt("topk", topk, keys=("w",))))
 
 
 SQL_STREAMING_SKETCHES = "\nUNION ALL\n".join([
