@@ -73,9 +73,20 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     distinct ≡ the old global ``.distinct()``, which shuffled the entire
     exploded corpus — at 100 TB the single largest shuffle in the dedup
     family).  Every downstream shuffle/join/aggregate moves 8-byte longs
-    instead of gram strings."""
+    instead of gram strings.
+
+    ``explode_outer``, deliberately: plain ``explode`` triggers
+    ``InferFiltersFromGenerate``, whose derived ``size(grams) > 0 AND
+    isnotnull(grams)`` predicates substitute the ENTIRE gram expression
+    through the projections and get pushed below any upstream exchange —
+    measured on decontaminate: the full split+n-gram+hash pipeline
+    evaluated twice per row in the pre-repartition scan task (2×5.8 s
+    single-task stages), tripling scan-side gram cpu at every scale.
+    The outer variant is exempt from that rule, and ``shingle_arrays``
+    guarantees non-empty arrays (``size >= n`` filter + in-expression
+    guard), so the row sets are identical."""
     return shingle_arrays(docs, n, text_col).select(
-        "doc_id", F.explode("grams").alias("gram"))
+        "doc_id", F.explode_outer("grams").alias("gram"))
 
 
 def jaccard_pairs(sh: DataFrame, tau_x1e4: int) -> DataFrame:
@@ -350,7 +361,9 @@ def minhash_near_dups(docs: DataFrame, tau_x1e4: int = 7000, n: int = 3,
     if arrays is None:
         arrays = shingle_arrays(docs, n, text_col)
     sig = minhash_signatures_inrow(arrays, num_hashes)
-    sh_x = arrays.select("doc_id", F.explode("grams").alias("gram"))
+    # explode_outer: dodge InferFiltersFromGenerate's whole-expression
+    # pushdown (see `shingles`); arrays rows are non-empty by construction
+    sh_x = arrays.select("doc_id", F.explode_outer("grams").alias("gram"))
     sizes = arrays.select("doc_id", F.size("grams").cast("long").alias("n_sh"))
     cand = lsh_candidate_pairs(sig, bands, rows)
     return verify_jaccard_pairs(sh_x, cand, tau_x1e4, sizes=sizes)
@@ -534,6 +547,8 @@ def token_shingles(df: DataFrame, n: int = 3, tokens_col: str = "tokens",
     """Exploded (doc_id, gram) form of :func:`token_shingle_arrays` —
     feeds the same MinHash / LSH / verify machinery as text dedup so
     near-dup detection runs directly on pre-tokenized training sequences
-    (no text detour); shuffle-free, downstream joins move 8-byte longs."""
+    (no text detour); shuffle-free, downstream joins move 8-byte longs.
+    ``explode_outer`` for the same InferFiltersFromGenerate pushdown
+    reason as :func:`shingles` (arrays non-empty by construction)."""
     return token_shingle_arrays(df, n, tokens_col, id_col).select(
-        id_col, F.explode("grams").alias("gram"))
+        id_col, F.explode_outer("grams").alias("gram"))

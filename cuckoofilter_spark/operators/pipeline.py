@@ -408,8 +408,11 @@ def rare_bigrams(docs: DataFrame, rare_max: int = 2,
     pre = docs.select("doc_id", words(F.col(text_col)).alias("_ws"))
     ws = F.col("_ws")
     grams = F.transform(word_ngrams(ws, 2), lambda g: F.xxhash64(g))
+    # explode_outer: see dedup.shingles — the size >= 2 filter guarantees
+    # non-empty gram arrays, and the outer variant dodges
+    # InferFiltersFromGenerate's whole-expression filter pushdown
     ex = pre.filter(F.size(ws) >= 2).select(
-        "doc_id", F.explode(grams).alias("g"))
+        "doc_id", F.explode_outer(grams).alias("g"))
     counts = ex.groupBy("g").agg(F.count("*").alias("cnt"))
     return (
         ex.join(counts, "g")

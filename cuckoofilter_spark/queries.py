@@ -890,8 +890,10 @@ def _shingle_arrays(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
 
 
 def _shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    # explode_outer: see dedup.shingles — identical rows (arrays non-empty)
+    # without InferFiltersFromGenerate's whole-expression pushdown
     return _shingle_arrays(spark, sf_dir, n).select(
-        "doc_id", F.explode("grams").alias("gram"))
+        "doc_id", F.explode_outer("grams").alias("gram"))
 
 
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
