@@ -189,6 +189,23 @@ def run_one(pipeline: str, n_docs: int) -> dict:
                 n = kept.join(dups, "doc_id", "left_anti").count()
             finally:
                 arr.unpersist()
+        elif pipeline == "cluster":
+            # the driver's neardup_clusters composition (r5): MinHash-LSH
+            # verified pairs → connected components (min-label propagation
+            # + pointer jumping) → per-doc keep/drop representatives
+            from cuckoofilter_spark.operators.components import (
+                cluster_representatives,
+            )
+
+            t0, c0 = time.time(), _cpu_total(spark)
+            arr = D.shingle_arrays(docs, 3).persist()
+            try:
+                pairs = D.minhash_near_dups(docs, tau_x1e4=TAU, n=3,
+                                            arrays=arr)
+                n = cluster_representatives(
+                    pairs.select("d1", "d2")).count()
+            finally:
+                arr.unpersist()
         elif pipeline == "clean":
             t0, c0 = time.time(), _cpu_total(spark)
             q = TX.quality_score(docs).filter(
@@ -226,7 +243,8 @@ def main() -> None:
     names = (os.environ.get("SPARK_GRAFT_SOAK_PIPELINES",
                             "clean,clean_lsh,minhash,tokens").split(","))
     bases = {"clean": BASE_DOCS, "clean_lsh": BASE_DOCS,
-             "minhash": BASE_DOCS, "tokens": TOK_BASE}
+             "minhash": BASE_DOCS, "tokens": TOK_BASE,
+             "cluster": BASE_DOCS}
     for pipeline, base in ((n, bases[n]) for n in names):
         per = {}
         for mult in (1, SCALE):
