@@ -235,9 +235,14 @@ def jaccard_pairs_prefix(sh: DataFrame, tau_x1e4: int,
     tau = tau_x1e4 / 10000.0
     from pyspark import StorageLevel
 
-    # the shingle relation feeds five consumers (df-rank, prefixes, both
+    # The shingle relation feeds five consumers (df-rank, prefixes, both
     # verify sides, sizes) — materialize it once instead of re-exploding
-    # the corpus per consumer (no-op if the caller already persisted)
+    # the corpus per consumer.  NOTE: a lazy operator can never unpersist,
+    # so this pins one MEMORY_AND_DISK relation per call for the session
+    # lifetime (a no-op if the caller already persisted `sh`).  Acceptable
+    # here because this is the bounded/oracle tool invoked once per corpus
+    # (the query layer caches its output in `_PAIRS_CACHE`); the unbounded
+    # scale path (`minhash_near_dups`) takes pre-persisted arrays instead.
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     cand = (_prefix_self_join(prefix_index(sh, tau_x1e4, sizes=sizes),
