@@ -160,3 +160,40 @@ def test_simhash_inrow_zero_shuffle_and_value_identical(spark, sf01_dir):
          simhash(arrays.selectExpr("doc_id", "explode(grams) AS gram"))
          .collect()}
     assert a == b and len(a) > 400
+
+
+def test_gram_pipeline_never_sinks_below_a_repartition(spark, sf01_dir):
+    """Regression gate for the r5 plan defect: with plain explode,
+    InferFiltersFromGenerate derives size/isnotnull predicates whose
+    pushdown substitutes the ENTIRE split+n-gram+hash expression through
+    the projections and below an upstream repartition — the gram pipeline
+    then ran (twice) inside the single pre-shuffle scan task.  With
+    explode_outer, every node below the round-robin exchange must be
+    hash-free (scan / cheap filter / column projection only)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from cuckoofilter_spark.operators.dedup import shingles
+    from cuckoofilter_spark.plans import explain_str
+
+    docs = spark.read.parquet(f"{sf01_dir}/documents.parquet").repartition(8)
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    plan = explain_str(
+        shingles(bench, n=5).select("gram").distinct(), "formatted")
+    nodes = {
+        int(m.group(1)): (m.group(2).strip(), m.group(3))
+        for m in re.finditer(
+            r"\((\d+)\) (\w[\w ]*)\n(.*?)(?=\n\(\d+\) |\Z)", plan, re.S)
+    }
+    rr = [k for k, (name, body) in nodes.items()
+          if name.startswith("Exchange") and "RoundRobinPartitioning" in body]
+    assert rr, f"fan-out repartition missing from the plan:\n{plan[:800]}"
+    below = min(rr)
+    assert any("xxhash64" in body for k, (_, body) in nodes.items()
+               if k > below), "gram hashing disappeared from the plan"
+    offenders = [k for k, (_, body) in nodes.items()
+                 if k < below and "xxhash64" in body]
+    assert not offenders, (
+        f"gram expression pushed below the repartition again "
+        f"(nodes {offenders}):\n{plan[:1200]}")
