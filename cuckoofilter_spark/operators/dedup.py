@@ -312,13 +312,12 @@ def minhash_signatures_inrow(arrays: DataFrame,
     return arrays.select("doc_id", *[mh(i) for i in range(num_hashes)])
 
 
-def lsh_candidate_pairs(sig: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:
-    """Band the signature (bands × rows = num_hashes); docs sharing any
-    band bucket become candidate pairs (d1 < d2, distinct).
-
-    One projection + posexplode — the signature is scanned once (not
-    `bands`× via a union), and the join key (band, bucket-hash) is uniform
-    by construction, so the self-join shuffle is skew-free."""
+def band_buckets(sig: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:
+    """(doc_id, band, bh) — each doc's LSH band buckets: the signature is
+    scanned ONCE (one projection + posexplode, not a `bands`-way union)
+    and the bucket key (band, bucket-hash) is uniform by construction.
+    This relation IS the reusable LSH index: persist/store it per corpus
+    and `incremental_near_dups` joins each incoming batch against it."""
     num = bands * rows
     cols = [f"mh{i}" for i in range(num)]
     assert all(c in sig.columns for c in cols), "signature too narrow for banding"
@@ -326,8 +325,14 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = 16, rows: int = 4) -> DataF
         F.xxhash64(*[F.col(c) for c in cols[b * rows:(b + 1) * rows]])
         for b in range(bands)
     ])
-    buckets = sig.select(
-        "doc_id", F.posexplode(band_hashes).alias("band", "bh"))
+    return sig.select("doc_id", F.posexplode(band_hashes).alias("band", "bh"))
+
+
+def lsh_candidate_pairs(sig: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:
+    """Band the signature (bands × rows = num_hashes); docs sharing any
+    band bucket become candidate pairs (d1 < d2, distinct).  The
+    self-join shuffle key is skew-free (see :func:`band_buckets`)."""
+    buckets = band_buckets(sig, bands, rows)
     a, b_ = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(b_, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
@@ -372,6 +377,59 @@ def minhash_near_dups(docs: DataFrame, tau_x1e4: int = 7000, n: int = 3,
     sizes = arrays.select("doc_id", F.size("grams").cast("long").alias("n_sh"))
     cand = lsh_candidate_pairs(sig, bands, rows)
     return verify_jaccard_pairs(sh_x, cand, tau_x1e4, sizes=sizes)
+
+
+def incremental_near_dups(corpus: DataFrame, new_docs: DataFrame,
+                          tau_x1e4: int = 7000, n: int = 3,
+                          num_hashes: int = 64, bands: int = 16,
+                          rows: int = 4, text_col: str = "text",
+                          corpus_buckets: DataFrame | None = None) -> DataFrame:
+    """Near-dups INTRODUCED by an incoming batch: every pair (d1 < d2,
+    exact Jaccard ≥ τ) over corpus ∪ batch where at least one side is a
+    batch doc — identical to ``minhash_near_dups`` over the union
+    restricted to batch-touching pairs (the restriction is driver-gated
+    against the full exact pair set).
+
+    This is the continuous-ingestion form of the dedup family, and the
+    distributed analog of the reference's incremental-growth semantics
+    (DCF/dynamic_cuckoo_filter.h:333-363 — new elements absorb into a
+    structure that only grows): per ingest, the engine computes shingle
+    arrays and signatures for the BATCH ONLY, joins its band buckets
+    against the corpus's stored bucket index (pass ``corpus_buckets`` —
+    e.g. a persisted/Iceberg-backed :func:`band_buckets` relation — to
+    skip recomputing it), and exact-verifies only the touched docs: the
+    corpus text is shingled ONLY for docs that collide with the batch
+    (left-semi restriction below), so per-ingest cost scales with batch
+    size + collision count, never corpus size.  Doc ids must be unique
+    across corpus ∪ batch."""
+    new_arrays = shingle_arrays(new_docs, n, text_col)
+    new_buckets = band_buckets(
+        minhash_signatures_inrow(new_arrays, num_hashes), bands, rows)
+    if corpus_buckets is None:
+        corpus_buckets = band_buckets(
+            minhash_signatures_inrow(shingle_arrays(corpus, n, text_col),
+                                     num_hashes), bands, rows)
+    all_buckets = corpus_buckets.unionByName(new_buckets)
+    a, b_ = new_buckets.alias("a"), all_buckets.alias("b")
+    cand = (
+        a.join(b_, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .select(F.least("a.doc_id", "b.doc_id").alias("d1"),
+                F.greatest("a.doc_id", "b.doc_id").alias("d2"))
+        .distinct()
+    )
+    # exact verification shingles ONLY the touched docs (candidate ids):
+    # at corpus scale this left-semi is the difference between per-ingest
+    # work and a corpus-wide re-shingle
+    touched = (cand.select(F.col("d1").alias("doc_id"))
+               .unionByName(cand.select(F.col("d2").alias("doc_id")))
+               .distinct())
+    union_docs = (corpus.select("doc_id", text_col)
+                  .unionByName(new_docs.select("doc_id", text_col))
+                  .join(touched, "doc_id", "left_semi"))
+    return verify_jaccard_pairs(shingles(union_docs, n, text_col), cand,
+                                tau_x1e4)
 
 
 # -- SimHash ----------------------------------------------------------------

@@ -960,6 +960,29 @@ SQL_NGRAM_JACCARD = ("WITH " + _SQL_SHINGLES + ", " +
                      _SQL_JACCARD_BODY.format(tau=JACCARD_TAU))
 
 
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion near-dup: the documents table split into an
+    indexed corpus (doc_id % 7 != 0) and an incoming batch (% 7 == 0);
+    the engine computes shingles/signatures for the BATCH only, joins its
+    LSH band buckets against the corpus bucket index, and exact-verifies
+    only the touched docs (left-semi-restricted shingling — the property
+    that makes per-ingest cost ∝ batch, never corpus; plan-gated in
+    pytest).  Exact: the oracle recomputes ALL exact pairs ≥ τ over the
+    union and keeps the batch-touching subset — so the driver gate also
+    asserts incremental LSH recall equals the exact pair set.  The
+    distributed analog of the reference's incremental-growth semantics
+    (DCF/dynamic_cuckoo_filter.h:333-363)."""
+    docs = _fan_out(T(spark, sf_dir, "documents"))
+    new = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    return D.incremental_near_dups(corpus, new, tau_x1e4=JACCARD_TAU, n=3)
+
+
+SQL_INCREMENTAL_NEARDUP = (
+    "WITH " + _SQL_SHINGLES + ", " + _SQL_JACCARD_BODY.format(tau=JACCARD_TAU)
+    + " AND (d1 % 7 = 0 OR d2 % 7 = 0)")
+
+
 def _lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cached MinHash-LSH verified pair relation (tiny — verified pairs
     ≥ τ): consumed by minhash_lsh AND the transitive clustering query."""
@@ -3221,6 +3244,7 @@ QUERIES = {
     "doc_rarity": q_doc_rarity,
     "pii_scrub": q_pii_scrub,
     "media_stages": q_media_stages,
+    "incremental_neardup": q_incremental_neardup,
     "ngram_jaccard": q_ngram_jaccard,
     "minhash_lsh": q_minhash_lsh,
     "neardup_clusters": q_neardup_clusters,
@@ -3271,6 +3295,7 @@ ORACLES = {
     "doc_rarity": SQL_DOC_RARITY,
     "pii_scrub": SQL_PII_SCRUB,
     "media_stages": SQL_MEDIA_STAGES,
+    "incremental_neardup": SQL_INCREMENTAL_NEARDUP,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "minhash_lsh": SQL_MINHASH_LSH,
     "neardup_clusters": SQL_NEARDUP_CLUSTERS,

@@ -40,3 +40,50 @@ def test_planted_token_neardups_recovered_exactly(spark):
     sh.unpersist()
     planted = {(f"doc{i:08d}", f"dupdoc{i:08d}") for i in range(0, 60, 10)}
     assert pairs == planted
+
+
+def test_incremental_near_dups_equals_full_recompute(spark, sf01_dir):
+    """The incremental (batch-vs-indexed-corpus) path must return exactly
+    the batch-touching subset of the full-union near-dup pair set — same
+    pairs, same exact Jaccard values — whether the corpus bucket index is
+    recomputed or passed in pre-built."""
+    from cuckoofilter_spark.operators.dedup import (
+        band_buckets,
+        incremental_near_dups,
+        minhash_near_dups,
+        minhash_signatures_inrow,
+        shingle_arrays,
+    )
+
+    docs = spark.read.parquet(f"{sf01_dir}/documents.parquet").limit(1500)
+    new = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+
+    full = {tuple(r) for r in minhash_near_dups(docs, tau_x1e4=8000).collect()}
+    want = {p for p in full if p[0] % 7 == 0 or p[1] % 7 == 0}
+    got = {tuple(r) for r in
+           incremental_near_dups(corpus, new, tau_x1e4=8000).collect()}
+    assert got == want and want, "need planted overlap in the fixture"
+
+    # pre-built index path is value-identical (the deployment shape:
+    # band_buckets persisted/stored once per corpus)
+    idx = band_buckets(
+        minhash_signatures_inrow(shingle_arrays(corpus, 3), 64))
+    got_idx = {tuple(r) for r in
+               incremental_near_dups(corpus, new, tau_x1e4=8000,
+                                     corpus_buckets=idx).collect()}
+    assert got_idx == want
+
+
+def test_incremental_near_dups_restricts_corpus_shingling(spark, sf01_dir):
+    """The exact-verify side must shingle only TOUCHED docs: the plan
+    carries a left-semi join between the doc text and the candidate ids —
+    without it every ingest would re-shingle the whole corpus."""
+    from cuckoofilter_spark.operators.dedup import incremental_near_dups
+    from cuckoofilter_spark.plans import explain_str
+
+    docs = spark.read.parquet(f"{sf01_dir}/documents.parquet").limit(400)
+    new = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    plan = explain_str(incremental_near_dups(corpus, new), "simple")
+    assert "LeftSemi" in plan
