@@ -383,7 +383,8 @@ def incremental_near_dups(corpus: DataFrame, new_docs: DataFrame,
                           tau_x1e4: int = 7000, n: int = 3,
                           num_hashes: int = 64, bands: int = 16,
                           rows: int = 4, text_col: str = "text",
-                          corpus_buckets: DataFrame | None = None) -> DataFrame:
+                          corpus_buckets: DataFrame | None = None,
+                          new_arrays: DataFrame | None = None) -> DataFrame:
     """Near-dups INTRODUCED by an incoming batch: every pair (d1 < d2,
     exact Jaccard ≥ τ) over corpus ∪ batch where at least one side is a
     batch doc — identical to ``minhash_near_dups`` over the union
@@ -401,8 +402,13 @@ def incremental_near_dups(corpus: DataFrame, new_docs: DataFrame,
     corpus text is shingled ONLY for docs that collide with the batch
     (left-semi restriction below), so per-ingest cost scales with batch
     size + collision count, never corpus size.  Doc ids must be unique
-    across corpus ∪ batch."""
-    new_arrays = shingle_arrays(new_docs, n, text_col)
+    across corpus ∪ batch.  Both relation inputs are overridable
+    (``corpus_buckets``, ``new_arrays``) so callers holding a
+    persisted/stored index or a shared gram-array cache avoid
+    recomputation — per-doc shingling commutes with row filters, so a
+    filtered slice of a cached array relation is exact."""
+    if new_arrays is None:
+        new_arrays = shingle_arrays(new_docs, n, text_col)
     new_buckets = band_buckets(
         minhash_signatures_inrow(new_arrays, num_hashes), bands, rows)
     if corpus_buckets is None:
