@@ -384,7 +384,8 @@ def incremental_near_dups(corpus: DataFrame, new_docs: DataFrame,
                           num_hashes: int = 64, bands: int = 16,
                           rows: int = 4, text_col: str = "text",
                           corpus_buckets: DataFrame | None = None,
-                          new_arrays: DataFrame | None = None) -> DataFrame:
+                          new_arrays: DataFrame | None = None,
+                          corpus_arrays: DataFrame | None = None) -> DataFrame:
     """Near-dups INTRODUCED by an incoming batch: every pair (d1 < d2,
     exact Jaccard ≥ τ) over corpus ∪ batch where at least one side is a
     batch doc — identical to ``minhash_near_dups`` over the union
@@ -395,26 +396,33 @@ def incremental_near_dups(corpus: DataFrame, new_docs: DataFrame,
     distributed analog of the reference's incremental-growth semantics
     (DCF/dynamic_cuckoo_filter.h:333-363 — new elements absorb into a
     structure that only grows): per ingest, the engine computes shingle
-    arrays and signatures for the BATCH ONLY, joins its band buckets
+    arrays and signatures for the BATCH ONLY and joins its band buckets
     against the corpus's stored bucket index (pass ``corpus_buckets`` —
     e.g. a persisted/Iceberg-backed :func:`band_buckets` relation — to
-    skip recomputing it), and exact-verifies only the touched docs: the
-    corpus text is shingled ONLY for docs that collide with the batch
-    (left-semi restriction below), so per-ingest cost scales with batch
-    size + collision count, never corpus size.  Doc ids must be unique
-    across corpus ∪ batch.  Both relation inputs are overridable
-    (``corpus_buckets``, ``new_arrays``) so callers holding a
-    persisted/stored index or a shared gram-array cache avoid
-    recomputation — per-doc shingling commutes with row filters, so a
-    filtered slice of a cached array relation is exact."""
+    skip recomputing it).
+
+    Exact verification is IN-ROW: candidates join the per-doc gram-array
+    relations and Jaccard is ``size(array_intersect(g1, g2))`` — no
+    exploded-shingle shuffle, no corpus text re-shingle, and the
+    candidate subtree is referenced exactly ONCE (an earlier left-semi
+    formulation referenced it three times, tripling the bucket-join cpu —
+    the unmaterialized-subtree re-execution trap in CLAUDE.md).  Per
+    ingest the moving data is batch bands + colliding index buckets +
+    candidate-joined arrays, never corpus-sized.  Doc ids must be unique
+    across corpus ∪ batch.  All three relation inputs are overridable
+    (``corpus_buckets``, ``new_arrays``, ``corpus_arrays``) so callers
+    holding a stored index / shared gram-array cache avoid recomputation —
+    per-doc shingling commutes with row filters, so a filtered slice of a
+    cached array relation is exact."""
     if new_arrays is None:
         new_arrays = shingle_arrays(new_docs, n, text_col)
+    if corpus_arrays is None:
+        corpus_arrays = shingle_arrays(corpus, n, text_col)
     new_buckets = band_buckets(
         minhash_signatures_inrow(new_arrays, num_hashes), bands, rows)
     if corpus_buckets is None:
         corpus_buckets = band_buckets(
-            minhash_signatures_inrow(shingle_arrays(corpus, n, text_col),
-                                     num_hashes), bands, rows)
+            minhash_signatures_inrow(corpus_arrays, num_hashes), bands, rows)
     all_buckets = corpus_buckets.unionByName(new_buckets)
     a, b_ = new_buckets.alias("a"), all_buckets.alias("b")
     cand = (
@@ -425,17 +433,20 @@ def incremental_near_dups(corpus: DataFrame, new_docs: DataFrame,
                 F.greatest("a.doc_id", "b.doc_id").alias("d2"))
         .distinct()
     )
-    # exact verification shingles ONLY the touched docs (candidate ids):
-    # at corpus scale this left-semi is the difference between per-ingest
-    # work and a corpus-wide re-shingle
-    touched = (cand.select(F.col("d1").alias("doc_id"))
-               .unionByName(cand.select(F.col("d2").alias("doc_id")))
-               .distinct())
-    union_docs = (corpus.select("doc_id", text_col)
-                  .unionByName(new_docs.select("doc_id", text_col))
-                  .join(touched, "doc_id", "left_semi"))
-    return verify_jaccard_pairs(shingles(union_docs, n, text_col), cand,
-                                tau_x1e4)
+    ar = corpus_arrays.unionByName(new_arrays)
+    a1 = ar.select(F.col("doc_id").alias("d1"), F.col("grams").alias("g1"))
+    a2 = ar.select(F.col("doc_id").alias("d2"), F.col("grams").alias("g2"))
+    inter = F.size(F.array_intersect("g1", "g2")).cast("long")
+    na, nb = F.size("g1").cast("long"), F.size("g2").cast("long")
+    return (
+        cand.join(a1, "d1").join(a2, "d2")
+        .select("d1", "d2", inter.alias("inter"),
+                (na + nb - inter).alias("union_"))
+        .withColumn("jaccard_x1e4",
+                    F.floor(F.col("inter") * 10000 / F.col("union_"))
+                    .cast("long"))
+        .filter(F.col("jaccard_x1e4") >= tau_x1e4)
+    )
 
 
 # -- SimHash ----------------------------------------------------------------

@@ -979,10 +979,9 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc shingling commutes with row filters, so the slices are exact
     # and neither side re-shingles the corpus text
     arrays = _shingle_arrays(spark, sf_dir, 3)
-    idx = D.band_buckets(D.minhash_signatures_inrow(
-        arrays.filter(F.col("doc_id") % 7 != 0), 64))
     return D.incremental_near_dups(
-        corpus, new, tau_x1e4=JACCARD_TAU, n=3, corpus_buckets=idx,
+        corpus, new, tau_x1e4=JACCARD_TAU, n=3,
+        corpus_arrays=arrays.filter(F.col("doc_id") % 7 != 0),
         new_arrays=arrays.filter(F.col("doc_id") % 7 == 0))
 
 

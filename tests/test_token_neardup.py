@@ -75,10 +75,11 @@ def test_incremental_near_dups_equals_full_recompute(spark, sf01_dir):
     assert got_idx == want
 
 
-def test_incremental_near_dups_restricts_corpus_shingling(spark, sf01_dir):
-    """The exact-verify side must shingle only TOUCHED docs: the plan
-    carries a left-semi join between the doc text and the candidate ids —
-    without it every ingest would re-shingle the whole corpus."""
+def test_incremental_near_dups_verifies_in_row(spark, sf01_dir):
+    """Exact verification must be the in-row array_intersect over the
+    gram-array relations — no exploded-shingle self-join (whose shuffle
+    would carry the corpus), and no explode of the gram arrays anywhere
+    in the plan (the only Generate is the band posexplode)."""
     from cuckoofilter_spark.operators.dedup import incremental_near_dups
     from cuckoofilter_spark.plans import explain_str
 
@@ -86,4 +87,5 @@ def test_incremental_near_dups_restricts_corpus_shingling(spark, sf01_dir):
     new = docs.filter(F.col("doc_id") % 7 == 0)
     corpus = docs.filter(F.col("doc_id") % 7 != 0)
     plan = explain_str(incremental_near_dups(corpus, new), "simple")
-    assert "LeftSemi" in plan
+    assert "array_intersect" in plan
+    assert "explode(grams" not in plan and "explode_outer(grams" not in plan
