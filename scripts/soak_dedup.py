@@ -189,6 +189,14 @@ def run_one(pipeline: str, n_docs: int) -> dict:
                 n = kept.join(dups, "doc_id", "left_anti").count()
             finally:
                 arr.unpersist()
+        elif pipeline == "incremental":
+            # continuous-ingestion path: batch (1/7 of docs) vs the
+            # corpus bucket index, in-row array_intersect verification
+            t0, c0 = time.time(), _cpu_total(spark)
+            new = docs.filter(F.col("doc_id") % 7 == 0)
+            corpus = docs.filter(F.col("doc_id") % 7 != 0)
+            n = D.incremental_near_dups(corpus, new, tau_x1e4=TAU,
+                                        n=3).count()
         elif pipeline == "cluster":
             # the driver's neardup_clusters composition (r5): MinHash-LSH
             # verified pairs → connected components (min-label propagation
@@ -244,7 +252,7 @@ def main() -> None:
                             "clean,clean_lsh,minhash,tokens").split(","))
     bases = {"clean": BASE_DOCS, "clean_lsh": BASE_DOCS,
              "minhash": BASE_DOCS, "tokens": TOK_BASE,
-             "cluster": BASE_DOCS}
+             "cluster": BASE_DOCS, "incremental": BASE_DOCS}
     for pipeline, base in ((n, bases[n]) for n in names):
         per = {}
         for mult in (1, SCALE):
