@@ -189,6 +189,17 @@ def run_one(pipeline: str, n_docs: int) -> dict:
                 n = kept.join(dups, "doc_id", "left_anti").count()
             finally:
                 arr.unpersist()
+        elif pipeline == "simhash":
+            # q_simhash_dups's operator composition (signatures + pigeonhole
+            # banding + exact popcount filter; the capped brute-force recall
+            # audit is a fixture, not the operator, and is excluded)
+            t0, c0 = time.time(), _cpu_total(spark)
+            arr = D.shingle_arrays(docs, 3).persist()
+            try:
+                sig = D.simhash_inrow(arr)
+                n = D.simhash_candidates(sig, max_hamming=3).count()
+            finally:
+                arr.unpersist()
         elif pipeline == "incremental":
             # continuous-ingestion path: batch (1/7 of docs) vs the
             # corpus bucket index, in-row array_intersect verification
@@ -252,7 +263,8 @@ def main() -> None:
                             "clean,clean_lsh,minhash,tokens").split(","))
     bases = {"clean": BASE_DOCS, "clean_lsh": BASE_DOCS,
              "minhash": BASE_DOCS, "tokens": TOK_BASE,
-             "cluster": BASE_DOCS, "incremental": BASE_DOCS}
+             "cluster": BASE_DOCS, "incremental": BASE_DOCS,
+             "simhash": BASE_DOCS}
     for pipeline, base in ((n, bases[n]) for n in names):
         per = {}
         for mult in (1, SCALE):
